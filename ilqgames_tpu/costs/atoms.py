@@ -1,0 +1,551 @@
+"""The concrete cost library (19 cost types), as pure-function builders.
+
+Each builder returns a `Cost` whose `evaluate(t_rel, v)` matches the
+reference cost's Evaluate bit-for-bit in exact arithmetic, and whose
+quadraticization matches the reference's *shipped* Quadraticize — via
+autodiff where the shipped formulas are the true derivatives, via a custom
+`quad_fn` where they deviate (the convex-proximity family's missing sgn()
+factors and the polyline family's branch-specific forms), since those
+quirks affect the solver's fixed point.
+
+Reference files cited per builder (include/ilqgames/cost/*, src/*.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqgames_tpu import geometry
+from ilqgames_tpu.costs.base import Cost
+
+_EPS = 1e-12
+
+
+def _safe_hypot(dx, dy):
+    return jnp.sqrt(jnp.maximum(dx * dx + dy * dy, _EPS))
+
+
+def _sgn(x):
+    """Reference sgn: (x > 0) - (x < 0), so sgn(0) == 0 (utils/types.h:154)."""
+    return jnp.sign(x)
+
+
+# ---------------------------------------------------------------------------
+# Simple quadratics (src/quadratic_cost.cpp, src/semiquadratic_cost.cpp).
+# ---------------------------------------------------------------------------
+def quadratic(weight: float, dim: Optional[int], nominal: float = 0.0,
+              name: str = "quadratic") -> Cost:
+    """0.5*w*(v[dim]-nominal)^2, or over all dims when dim is None
+    (reference dimension == -1)."""
+
+    if dim is None:
+        def evaluate(t, v):
+            d = v - nominal
+            return 0.5 * weight * jnp.sum(d * d)
+    else:
+        def evaluate(t, v):
+            d = v[dim] - nominal
+            return 0.5 * weight * d * d
+
+    return Cost(name, evaluate)
+
+
+def semiquadratic(weight: float, dim: int, threshold: float,
+                  oriented_right: bool, name: str = "semiquadratic") -> Cost:
+    """One-sided quadratic above (oriented_right) or below the threshold."""
+
+    def evaluate(t, v):
+        diff = v[dim] - threshold
+        active = (diff > 0.0) if oriented_right else (diff < 0.0)
+        return jnp.where(active, 0.5 * weight * diff * diff, 0.0)
+
+    return Cost(name, evaluate)
+
+
+def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,
+                   name: str = "quadratic_norm") -> Cost:
+    """0.5*w*(||(v[d1],v[d2])|| - nominal)^2 (src/quadratic_norm_cost.cpp)."""
+
+    def evaluate(t, v):
+        diff = _safe_hypot(v[dim1], v[dim2]) - nominal
+        return 0.5 * weight * diff * diff
+
+    return Cost(name, evaluate)
+
+
+def semiquadratic_norm(weight: float, dim1: int, dim2: int, threshold: float,
+                       oriented_right: bool,
+                       name: str = "semiquadratic_norm") -> Cost:
+    """One-sided version of quadratic_norm (src/semiquadratic_norm_cost.cpp)."""
+
+    def evaluate(t, v):
+        diff = _safe_hypot(v[dim1], v[dim2]) - threshold
+        active = (diff > 0.0) if oriented_right else (diff < 0.0)
+        return jnp.where(active, 0.5 * weight * diff * diff, 0.0)
+
+    def quad_fn(t, v):
+        # The shipped quadraticize activates on >=/<= of the *norm* (ties
+        # included), src/semiquadratic_norm_cost.cpp:26-31.
+        norm = _safe_hypot(v[dim1], v[dim2])
+        active = (norm >= threshold) if oriented_right else (norm <= threshold)
+        g = jax.grad(
+            lambda vv: 0.5 * weight * (_safe_hypot(vv[dim1], vv[dim2]) - threshold) ** 2
+        )
+        grad = jnp.where(active, g(v), jnp.zeros_like(v))
+        h = jax.hessian(
+            lambda vv: 0.5 * weight * (_safe_hypot(vv[dim1], vv[dim2]) - threshold) ** 2
+        )(v)
+        hess = jnp.where(active, h, jnp.zeros_like(h))
+        return hess, grad
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def quadratic_difference(weight: float, dims1: Sequence[int],
+                         dims2: Sequence[int],
+                         name: str = "quadratic_difference") -> Cost:
+    """0.5*w*sum_i (v[dims1[i]] - v[dims2[i]])^2
+    (src/quadratic_difference_cost.cpp)."""
+    d1 = tuple(dims1)
+    d2 = tuple(dims2)
+
+    def evaluate(t, v):
+        total = 0.0
+        for a, b in zip(d1, d2):
+            diff = v[a] - v[b]
+            total = total + diff * diff
+        return 0.5 * weight * total
+
+    return Cost(name, evaluate)
+
+
+def relative_distance(weight: float, dims1: Tuple[int, int],
+                      dims2: Tuple[int, int],
+                      name: str = "relative_distance") -> Cost:
+    """w * ||p1 - p2|| (src/relative_distance_cost.cpp)."""
+
+    def evaluate(t, v):
+        return weight * _safe_hypot(v[dims1[0]] - v[dims2[0]],
+                                    v[dims1[1]] - v[dims2[1]])
+
+    return Cost(name, evaluate)
+
+
+def signed_distance(dims1: Tuple[int, int], dims2: Tuple[int, int],
+                    nominal: float = 0.0, less_is_positive: bool = True,
+                    name: str = "signed_distance") -> Cost:
+    """nominal - ||p1-p2|| (or its negation). NOTE: the reference applies no
+    weight to this cost (src/signed_distance_cost.cpp Evaluate)."""
+    s = 1.0 if less_is_positive else -1.0
+
+    def evaluate(t, v):
+        d = _safe_hypot(v[dims1[0]] - v[dims2[0]], v[dims1[1]] - v[dims2[1]])
+        return s * (nominal - d)
+
+    return Cost(name, evaluate)
+
+
+# ---------------------------------------------------------------------------
+# Proximity family.
+# ---------------------------------------------------------------------------
+def proximity(weight: float, dims1: Tuple[int, int], dims2: Tuple[int, int],
+              threshold: float, name: str = "proximity") -> Cost:
+    """0.5*w*(threshold - ||p1-p2||)^2, active only within the threshold
+    (src/proximity_cost.cpp:52-123); shipped derivatives are the true ones."""
+    threshold_sq = threshold * threshold
+
+    def evaluate(t, v):
+        dx = v[dims1[0]] - v[dims2[0]]
+        dy = v[dims1[1]] - v[dims2[1]]
+        delta_sq = dx * dx + dy * dy
+        gap = threshold - jnp.sqrt(jnp.maximum(delta_sq, _EPS))
+        return jnp.where(delta_sq >= threshold_sq, 0.0,
+                         0.5 * weight * gap * gap)
+
+    return Cost(name, evaluate)
+
+
+def locally_convex_proximity(weight: float, dims1: Tuple[int, int],
+                             dims2: Tuple[int, int], threshold: float,
+                             name: str = "locally_convex_proximity") -> Cost:
+    """min of axis-aligned convex penalties (keeps Hessian PSD),
+    src/locally_convex_proximity_cost.cpp. The shipped gradient omits the
+    sgn(dx) factor — replicated verbatim in quad_fn."""
+    x1, y1 = dims1
+    x2, y2 = dims2
+    threshold_sq = threshold * threshold
+
+    def evaluate(t, v):
+        dx = v[x1] - v[x2]
+        dy = v[y1] - v[y2]
+        inactive = (dx * dx >= threshold_sq) | (dy * dy >= threshold_sq)
+        delta_x = threshold - jnp.abs(dx)
+        delta_y = threshold - jnp.abs(dy)
+        val = 0.5 * weight * jnp.minimum(delta_x * delta_x, delta_y * delta_y)
+        return jnp.where(inactive, 0.0, val)
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        dx = v[x1] - v[x2]
+        dy = v[y1] - v[y2]
+        inactive = (dx * dx >= threshold_sq) | (dy * dy >= threshold_sq)
+        delta_x = threshold - jnp.abs(dx)
+        delta_y = threshold - jnp.abs(dy)
+        is_x_active = delta_x * delta_x < delta_y * delta_y
+
+        def branch(a_idx, b_idx, delta):
+            grad = jnp.zeros((d,))
+            hess = jnp.zeros((d, d))
+            dval = -weight * delta  # shipped form: no sgn() factor
+            grad = grad.at[a_idx].add(dval).at[b_idx].add(-dval)
+            hess = (
+                hess.at[a_idx, a_idx].add(weight)
+                .at[b_idx, b_idx].add(weight)
+                .at[a_idx, b_idx].add(-weight)
+                .at[b_idx, a_idx].add(-weight)
+            )
+            return hess, grad
+
+        hx, gx = branch(x1, x2, delta_x)
+        hy, gy = branch(y1, y2, delta_y)
+        hess = jnp.where(is_x_active, hx, hy)
+        grad = jnp.where(is_x_active, gx, gy)
+        zero_h = jnp.zeros_like(hess)
+        zero_g = jnp.zeros_like(grad)
+        return (jnp.where(inactive, zero_h, hess),
+                jnp.where(inactive, zero_g, grad))
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def weighted_convex_proximity(weight: float, dims1: Tuple[int, int],
+                              dims2: Tuple[int, int], vidx1: int, vidx2: int,
+                              threshold: float,
+                              name: str = "weighted_convex_proximity") -> Cost:
+    """Speed-weighted locally convex proximity
+    (src/weighted_convex_proximity_cost.cpp); shipped derivatives replicated
+    verbatim including their deviations from the true gradient."""
+    x1, y1 = dims1
+    x2, y2 = dims2
+    threshold_sq = threshold * threshold
+
+    def evaluate(t, v):
+        dx = v[x1] - v[x2]
+        dy = v[y1] - v[y2]
+        vv = v[vidx1] * v[vidx1] + v[vidx2] * v[vidx2]
+        inactive = (dx * dx >= threshold_sq) | (dy * dy >= threshold_sq)
+        delta_x = threshold - jnp.abs(dx)
+        delta_y = threshold - jnp.abs(dy)
+        val = 0.5 * weight * vv * jnp.minimum(delta_x * delta_x,
+                                              delta_y * delta_y)
+        return jnp.where(inactive, 0.0, val)
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        dx = v[x1] - v[x2]
+        dy = v[y1] - v[y2]
+        vv = v[vidx1] * v[vidx1] + v[vidx2] * v[vidx2]
+        inactive = (dx * dx >= threshold_sq) | (dy * dy >= threshold_sq)
+        delta_x = threshold - jnp.abs(dx)
+        delta_y = threshold - jnp.abs(dy)
+        is_x_active = delta_x * delta_x < delta_y * delta_y
+
+        def branch(a1, a2, delta, diff):
+            grad = jnp.zeros((d,))
+            hess = jnp.zeros((d, d))
+            da1 = -weight * delta * vv
+            dv1 = -weight * v[vidx1] * delta * delta
+            dv2 = -weight * v[vidx2] * delta * delta
+            dda1 = weight
+            ddv = weight * delta * delta
+            da1dv1 = -2.0 * weight * v[vidx1] * _sgn(diff)
+            da1dv2 = -2.0 * weight * v[vidx2] * _sgn(diff)
+
+            hess = (
+                hess.at[a1, a1].add(dda1).at[a1, a2].add(-dda1)
+                .at[a2, a1].add(-dda1).at[a2, a2].add(dda1)
+                .at[a1, vidx1].add(da1dv1).at[a1, vidx2].add(da1dv2)
+                .at[a2, vidx1].add(-da1dv1).at[a2, vidx2].add(-da1dv2)
+                .at[vidx1, a1].add(da1dv1).at[vidx1, a2].add(-da1dv1)
+                .at[vidx1, vidx1].add(ddv)
+                .at[vidx2, a1].add(da1dv2).at[vidx2, a2].add(-da1dv2)
+                .at[vidx2, vidx2].add(ddv)
+            )
+            grad = (
+                grad.at[a1].add(da1).at[a2].add(-da1)
+                .at[vidx1].add(dv1).at[vidx2].add(dv2)
+            )
+            return hess, grad
+
+        hx, gx = branch(x1, x2, delta_x, dx)
+        hy, gy = branch(y1, y2, delta_y, dy)
+        hess = jnp.where(is_x_active, hx, hy)
+        grad = jnp.where(is_x_active, gx, gy)
+        return (jnp.where(inactive, jnp.zeros_like(hess), hess),
+                jnp.where(inactive, jnp.zeros_like(grad), grad))
+
+    return Cost(name, evaluate, quad_fn)
+
+
+# ---------------------------------------------------------------------------
+# Polyline family. All use geometry.polyline_closest_point with the
+# reference's branch semantics.
+# ---------------------------------------------------------------------------
+def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
+                        yidx: int, name: str = "quadratic_polyline2") -> Cost:
+    """0.5*w*(signed distance to polyline)^2, zeroed when the closest point
+    is a polyline endpoint (src/quadratic_polyline2_cost.cpp)."""
+    pts = jnp.asarray(points, jnp.float32)
+
+    def evaluate(t, v):
+        res = geometry.polyline_closest_point(pts, jnp.array([v[xidx], v[yidx]]))
+        ssd = jnp.where(res.is_endpoint, 0.0, res.signed_sq_distance)
+        return 0.5 * weight * jnp.abs(ssd)
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        q = jnp.array([v[xidx], v[yidx]])
+        res = geometry.polyline_closest_point(pts, q)
+
+        # Vertex branch: isotropic quadratic pull toward the vertex.
+        dxv = weight * (q[0] - res.point[0])
+        dyv = weight * (q[1] - res.point[1])
+        hv = (weight, weight, 0.0)
+
+        # Interior branch: quadratic in the cross-track coordinate.
+        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        rel = q - res.segment_start
+        w_cross = weight * (rel[0] * uy - rel[1] * ux)
+        dxi = w_cross * uy
+        dyi = -w_cross * ux
+        hi = (weight * uy * uy, weight * ux * ux, -weight * ux * uy)
+
+        use_v = res.is_vertex
+        gate = ~res.is_endpoint
+        dx = jnp.where(use_v, dxv, dxi) * gate
+        dy = jnp.where(use_v, dyv, dyi) * gate
+        ddx = jnp.where(use_v, hv[0], hi[0]) * gate
+        ddy = jnp.where(use_v, hv[1], hi[1]) * gate
+        dxdy = jnp.where(use_v, hv[2], hi[2]) * gate
+
+        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
+        hess = (jnp.zeros((d, d))
+                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
+                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        return hess, grad
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
+                            yidx: int, threshold: float, oriented_right: bool,
+                            name: str = "semiquadratic_polyline2") -> Cost:
+    """One-sided lane-boundary cost on signed distance past a threshold
+    (src/semiquadratic_polyline2_cost.cpp)."""
+    pts = jnp.asarray(points, jnp.float32)
+    signed_sq_threshold = (1.0 if threshold >= 0 else -1.0) * threshold * threshold
+
+    def _active(ssd):
+        if oriented_right:
+            return ssd > signed_sq_threshold
+        return ssd < signed_sq_threshold
+
+    def evaluate(t, v):
+        res = geometry.polyline_closest_point(pts, jnp.array([v[xidx], v[yidx]]))
+        ssd = res.signed_sq_distance
+        sd = _sgn(ssd) * jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
+        diff = sd - threshold
+        val = 0.5 * weight * diff * diff
+        return jnp.where(res.is_endpoint | ~_active(ssd), 0.0, val)
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        q = jnp.array([v[xidx], v[yidx]])
+        res = geometry.polyline_closest_point(pts, q)
+        ssd = res.signed_sq_distance
+        gate = _active(ssd) & ~res.is_endpoint
+
+        dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
+        scaling = (dist - jnp.abs(threshold)) / dist
+        dxv = weight * scaling * (q[0] - res.point[0])
+        dyv = weight * scaling * (q[1] - res.point[1])
+
+        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        hess_iv = jnp.where(
+            res.is_vertex,
+            jnp.array([weight, weight, 0.0]),
+            jnp.array([weight * uy * uy, weight * ux * ux,
+                       -weight * ux * uy]),
+        )
+        # Gradient is shared between branches (shipped code computes it from
+        # the closest point in both cases).
+        dx = dxv * gate
+        dy = dyv * gate
+        ddx = hess_iv[0] * gate
+        ddy = hess_iv[1] * gate
+        dxdy = hess_iv[2] * gate
+
+        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
+        hess = (jnp.zeros((d, d))
+                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
+                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        return hess, grad
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
+                              nominal: float = 0.0,
+                              oriented_same_as_polyline: bool = True,
+                              name: str = "polyline2_signed_distance") -> Cost:
+    """signed_distance(p, polyline) - nominal, with optional sign flip
+    (src/polyline2_signed_distance_cost.cpp). The shipped interior-branch
+    gradient ignores the orientation flip — replicated."""
+    pts = jnp.asarray(points, jnp.float32)
+    flip = 1.0 if oriented_same_as_polyline else -1.0
+
+    def evaluate(t, v):
+        res = geometry.polyline_closest_point(pts, jnp.array([v[xidx], v[yidx]]))
+        ssd = res.signed_sq_distance * flip
+        return _sgn(ssd) * jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS)) - nominal
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        q = jnp.array([v[xidx], v[yidx]])
+        res = geometry.polyline_closest_point(pts, q)
+        ssd = res.signed_sq_distance * flip
+        s = _sgn(ssd)
+        dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
+        delta_x = q[0] - res.point[0]
+        delta_y = q[1] - res.point[1]
+        denom = jnp.where(jnp.abs(ssd * dist) < _EPS, _EPS, ssd * dist)
+
+        # Vertex branch: true derivatives of s*distance.
+        dxv = s * delta_x / dist
+        dyv = s * delta_y / dist
+        ddxv = delta_y * delta_y / denom
+        ddyv = delta_x * delta_x / denom
+        dxdyv = -delta_x * delta_y / denom
+
+        # Interior branch (shipped: orientation flip NOT applied here).
+        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        dx = jnp.where(res.is_vertex, dxv, uy)
+        dy = jnp.where(res.is_vertex, dyv, -ux)
+        ddx = jnp.where(res.is_vertex, ddxv, 0.0)
+        ddy = jnp.where(res.is_vertex, ddyv, 0.0)
+        dxdy = jnp.where(res.is_vertex, dxdyv, 0.0)
+
+        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
+        hess = (jnp.zeros((d, d))
+                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
+                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        return hess, grad
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def route_progress(weight: float, points: jnp.ndarray, xidx: int, yidx: int,
+                   nominal_speed: float, initial_route_pos: float = 0.0,
+                   name: str = "route_progress") -> Cost:
+    """Quadratic pull toward the point `initial_route_pos + t*v_nom` along
+    the polyline (src/route_progress_cost.cpp). The desired point depends
+    only on time, so autodiff gives the shipped derivatives."""
+    pts = jnp.asarray(points, jnp.float32)
+
+    def evaluate(t, v):
+        desired = geometry.polyline_point_at(
+            pts, initial_route_pos + t * nominal_speed
+        )
+        desired = jax.lax.stop_gradient(desired)
+        dx = v[xidx] - desired[0]
+        dy = v[yidx] - desired[1]
+        return 0.5 * weight * (dx * dx + dy * dy)
+
+    return Cost(name, evaluate)
+
+
+# ---------------------------------------------------------------------------
+# Scalar state costs.
+# ---------------------------------------------------------------------------
+def nominal_path_length(weight: float, dim: int, nominal_speed: float,
+                        name: str = "nominal_path_length") -> Cost:
+    """0.5*w*(v[dim] - t*v_nom)^2 (src/nominal_path_length_cost.cpp)."""
+
+    def evaluate(t, v):
+        delta = v[dim] - t * nominal_speed
+        return 0.5 * weight * delta * delta
+
+    return Cost(name, evaluate)
+
+
+def curvature(weight: float, omega_idx: int, v_idx: int,
+              name: str = "curvature") -> Cost:
+    """0.5*w*(omega/v)^2 (src/curvature_cost.cpp); true derivatives."""
+
+    def evaluate(t, v):
+        c = v[omega_idx] / v[v_idx]
+        return 0.5 * weight * c * c
+
+    return Cost(name, evaluate)
+
+
+def orientation(weight: float, dim: int, nominal: float,
+                name: str = "orientation") -> Cost:
+    """0.5*w*wrap(theta - nominal)^2 with C-style fmod wrapping
+    (src/orientation_cost.cpp)."""
+
+    def evaluate(t, v):
+        angle_diff = jnp.fmod(v[dim] - nominal + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        return 0.5 * weight * angle_diff * angle_diff
+
+    return Cost(name, evaluate)
+
+
+# ---------------------------------------------------------------------------
+# Combinators.
+# ---------------------------------------------------------------------------
+def final_time(inner: Cost, threshold_time: float,
+               name: str = "final_time") -> Cost:
+    """Applies `inner` only at relative times >= threshold_time
+    (cost/final_time_cost.h:54-83)."""
+
+    def evaluate(t, v):
+        return jnp.where(t >= threshold_time, inner.evaluate(t, v), 0.0)
+
+    def quad_fn(t, v):
+        hess, grad = inner.quadraticize(t, v)
+        gate = (t >= threshold_time).astype(hess.dtype)
+        return hess * gate, grad * gate
+
+    return Cost(name, evaluate, quad_fn)
+
+
+def extreme_value(costs: Sequence[Cost], is_min: bool,
+                  name: str = "extreme_value") -> Cost:
+    """min/max over a set of costs; quadraticizes the active one with
+    first-wins tie-breaking (src/extreme_value_cost.cpp)."""
+    costs = tuple(costs)
+
+    def _values(t, v):
+        return jnp.stack([c.evaluate(t, v) for c in costs])
+
+    def _active_index(vals):
+        return jnp.argmin(vals) if is_min else jnp.argmax(vals)
+
+    def evaluate(t, v):
+        vals = _values(t, v)
+        return vals[jax.lax.stop_gradient(_active_index(vals))]
+
+    def quad_fn(t, v):
+        vals = jax.lax.stop_gradient(_values(t, v))
+        idx = _active_index(vals)
+        hs, gs = zip(*[c.quadraticize(t, v) for c in costs])
+        onehot = jax.nn.one_hot(idx, len(costs), dtype=v.dtype)
+        hess = jnp.einsum("c,cij->ij", onehot, jnp.stack(hs))
+        grad = jnp.einsum("c,ci->i", onehot, jnp.stack(gs))
+        return hess, grad
+
+    return Cost(name, evaluate, quad_fn)

@@ -1,0 +1,102 @@
+"""Cost and constraint primitives with autodiff quadraticization.
+
+Reference parity:
+  - Cost::Evaluate / Cost::Quadraticize (cost/cost.h:55-77): each cost maps
+    (relative time, input vector) -> scalar, and contributes a gradient and
+    Hessian. Here quadraticization defaults to jax.grad / jax.hessian of the
+    evaluate function — which reproduces the reference's analytic derivatives
+    for every cost whose shipped formulas are the true derivatives. Costs
+    whose shipped derivatives *deviate* from the truth (the convex proximity
+    family and parts of the polyline family) provide a custom `quad_fn` that
+    replicates the shipped behavior exactly, since it affects which fixed
+    point the solver reaches.
+  - Constraint (constraint/constraint.h:63-140): scalar g with augmented-
+    Lagrangian term lambda*g + mu_eff*g^2/2, where mu_eff gates to zero for
+    satisfied, inactive inequalities (constraint.h:112-117). Multipliers are
+    explicit arrays in solver state, not globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqgames_tpu.types import SMALL_NUMBER
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Cost:
+    """A scalar stage cost on one input vector (a state x or one player's u).
+
+    evaluate: (t_rel, v) -> scalar. t_rel is time since the plan start.
+    quad_fn:  optional (t_rel, v) -> (hess [d,d], grad [d]) override.
+    """
+
+    name: str
+    evaluate: Callable
+    quad_fn: Optional[Callable] = None
+
+    def quadraticize(self, t, v):
+        if self.quad_fn is not None:
+            return self.quad_fn(t, v)
+        grad = jax.grad(self.evaluate, argnums=1)(t, v)
+        hess = jax.hessian(self.evaluate, argnums=1)(t, v)
+        return hess, grad
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Constraint:
+    """A scalar constraint g(t, v) == 0 (equality) or g(t, v) <= 0.
+
+    g: (t_rel, v) -> scalar constraint value.
+    quad_fn: optional (t_rel, v, lam, mu) -> (hess, grad) override for the
+      augmented-Lagrangian quadraticization.
+    """
+
+    name: str
+    g: Callable
+    is_equality: bool = False
+    quad_fn: Optional[Callable] = None
+
+    def effective_mu(self, g_val, lam, mu):
+        """mu switches off for satisfied inactive inequalities
+        (constraint/constraint.h:112-117)."""
+        if self.is_equality:
+            return mu
+        inactive = (g_val <= SMALL_NUMBER) & (jnp.abs(lam) <= SMALL_NUMBER)
+        return jnp.where(jax.lax.stop_gradient(inactive), 0.0, mu)
+
+    def evaluate_al(self, t, v, lam, mu):
+        """lambda*g + mu_eff*g^2/2 (constraint/constraint.h:83-88)."""
+        g_val = self.g(t, v)
+        mu_eff = self.effective_mu(jax.lax.stop_gradient(g_val), lam, mu)
+        return lam * g_val + 0.5 * mu_eff * g_val * g_val
+
+    def quadraticize_al(self, t, v, lam, mu):
+        """Gradient/Hessian of the AL term. Autodiff of evaluate_al yields
+        exactly the reference's ModifyDerivatives algebra
+        (src/constraint.cpp:62-89):
+          d  = (lam + mu_eff*g) * dg
+          dd = lam*ddg + mu_eff*(dg dg^T + g*ddg)."""
+        if self.quad_fn is not None:
+            return self.quad_fn(t, v, lam, mu)
+        grad = jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
+        hess = jax.hessian(self.evaluate_al, argnums=1)(t, v, lam, mu)
+        return hess, grad
+
+    def is_satisfied(self, g_val):
+        if self.is_equality:
+            return jnp.abs(g_val) <= SMALL_NUMBER
+        return g_val <= SMALL_NUMBER
+
+
+def increment_lambda(constraint: Constraint, lam, mu, g_val):
+    """lambda <- lambda + mu*g, clamped at 0 for inequalities
+    (constraint/constraint.h:98-102)."""
+    new_lam = lam + mu * g_val
+    if constraint.is_equality:
+        return new_lam
+    return jnp.maximum(0.0, new_lam)

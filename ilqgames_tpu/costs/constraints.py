@@ -1,0 +1,123 @@
+"""Concrete constraint library (6 types) for the augmented-Lagrangian solver.
+
+Each builder returns a `Constraint` with a pure g(t_rel, v). The AL
+quadraticization defaults to autodiff of lambda*g + mu_eff*g^2/2, which
+reproduces the reference's ModifyDerivatives algebra; AffineVectorConstraint
+overrides it to replicate the shipped Hessian verbatim (which uses A A^T
+where the true derivative has A^T A — include/ilqgames/constraint/
+affine_vector_constraint.h:95-99).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqgames_tpu import geometry
+from ilqgames_tpu.costs.base import Constraint
+
+_EPS = 1e-12
+
+
+def single_dimension(dim: int, threshold: float, keep_below: bool,
+                     name: str = "single_dimension") -> Constraint:
+    """g = x[dim]-threshold (keep_below) or threshold-x[dim]
+    (constraint/single_dimension_constraint.h:57-104)."""
+
+    def g(t, v):
+        return v[dim] - threshold if keep_below else threshold - v[dim]
+
+    return Constraint(name, g, is_equality=False)
+
+
+def affine_scalar(a, b: float, is_equality: bool,
+                  name: str = "affine_scalar") -> Constraint:
+    """g = a^T v - b (constraint/affine_scalar_constraint.h)."""
+    a = jnp.asarray(a, jnp.float32)
+
+    def g(t, v):
+        return jnp.dot(a, v) - b
+
+    return Constraint(name, g, is_equality=is_equality)
+
+
+def affine_vector(A, b, is_equality: bool,
+                  name: str = "affine_vector") -> Constraint:
+    """g = ||A v - b|| (constraint/affine_vector_constraint.h). The shipped
+    Hessian's lambda-term uses A A^T in place of A^T A; replicated."""
+    A = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    ATA = A.T @ A
+    AAT = A @ A.T
+
+    def g(t, v):
+        d = A @ v - b
+        return jnp.sqrt(jnp.maximum(jnp.sum(d * d), _EPS))
+
+    def quad_fn(t, v, lam, mu):
+        from ilqgames_tpu.types import SMALL_NUMBER
+
+        delta = A @ v - b
+        value = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta), _EPS))
+        if is_equality:
+            mu_eff = mu
+        else:
+            inactive = (value <= SMALL_NUMBER) & (jnp.abs(lam) <= SMALL_NUMBER)
+            mu_eff = jnp.where(inactive, 0.0, mu)
+        AT_delta = A.T @ delta
+        grad = (mu_eff + lam / value) * AT_delta
+        hess = (lam / value) * (
+            AAT - jnp.outer(AT_delta, AT_delta) / (value * value)
+        ) + mu_eff * ATA
+        return hess, grad
+
+    return Constraint(name, g, is_equality=is_equality, quad_fn=quad_fn)
+
+
+def proximity(dims1: Tuple[int, int], dims2: Tuple[int, int], threshold: float,
+              keep_within: bool, name: str = "proximity_constraint") -> Constraint:
+    """g = +/-(||p1 - p2|| - threshold) (src/proximity_constraint.cpp)."""
+    s = 1.0 if keep_within else -1.0
+
+    def g(t, v):
+        dx = v[dims1[0]] - v[dims2[0]]
+        dy = v[dims1[1]] - v[dims2[1]]
+        prox = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, _EPS))
+        return s * (prox - threshold)
+
+    return Constraint(name, g, is_equality=False)
+
+
+def polyline2_signed_distance(points, xidx: int, yidx: int, threshold: float,
+                              keep_left: bool,
+                              name: str = "polyline2_sd_constraint") -> Constraint:
+    """g = +/-(signed_distance(p, polyline) - threshold)
+    (src/polyline2_signed_distance_constraint.cpp). Autodiff through
+    geometry.signed_distance reproduces the shipped interior (affine) and
+    vertex (radial) derivative branches."""
+    pts = jnp.asarray(points, jnp.float32)
+    s = 1.0 if keep_left else -1.0
+
+    def g(t, v):
+        sd = geometry.signed_distance(pts, jnp.array([v[xidx], v[yidx]]))
+        return s * (sd - threshold)
+
+    return Constraint(name, g, is_equality=False)
+
+
+def final_time(inner: Constraint, threshold_time: float,
+               name: str = "final_time_constraint") -> Constraint:
+    """Active only at relative times >= threshold_time
+    (constraint/final_time_constraint.h:55-80)."""
+
+    def g(t, v):
+        return jnp.where(t < threshold_time, 0.0, inner.g(t, v))
+
+    def quad_fn(t, v, lam, mu):
+        hess, grad = inner.quadraticize_al(t, v, lam, mu)
+        gate = (t >= threshold_time).astype(hess.dtype)
+        return hess * gate, grad * gate
+
+    return Constraint(name, g, is_equality=inner.is_equality, quad_fn=quad_fn)

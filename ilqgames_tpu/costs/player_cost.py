@@ -1,0 +1,202 @@
+"""Per-player cost aggregation and full-horizon quadraticization.
+
+Reference parity: PlayerCost (cost/player_cost.h:57-152, src/player_cost.cpp)
+  * Evaluate sums state costs + control costs (constraints excluded).
+  * Quadraticize accumulates state costs, control costs, and the augmented-
+    Lagrangian terms of all constraints; per-player state/control
+    regularization enters as a diagonal shift
+    (utils/quadratic_cost_approximation.h:73-75).
+  * Cost structure SUM / MAX / MIN over time: for extremal structures the
+    state terms are quadraticized only at the time of the extreme cost;
+    control terms always (src/ilq_solver.cpp:474-490,
+    PlayerCost::QuadraticizeControlCosts).
+
+Augmented-Lagrangian multipliers are explicit solver state (`ALState`), not
+the reference's per-object vectors and global static mu
+(src/constraint.cpp:60)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqgames_tpu.costs.base import Constraint, Cost
+from ilqgames_tpu.types import DEFAULT_MU, GameSpec, OperatingPoint, QuadraticCosts
+
+STRUCTURE_SUM = "sum"
+STRUCTURE_MAX = "max"
+STRUCTURE_MIN = "min"
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PlayerCost:
+    """Static description of one player's cost: atoms + constraints."""
+
+    state_costs: Tuple[Cost, ...] = ()
+    # (which player's control, cost) — almost always the player's own.
+    control_costs: Tuple[Tuple[int, Cost], ...] = ()
+    state_constraints: Tuple[Constraint, ...] = ()
+    control_constraints: Tuple[Tuple[int, Constraint], ...] = ()
+    structure: str = STRUCTURE_SUM
+    state_regularization: float = 0.0
+    control_regularization: float = 0.0
+
+    @property
+    def is_constrained(self) -> bool:
+        return bool(self.state_constraints) or bool(self.control_constraints)
+
+    def control_players(self) -> Tuple[int, ...]:
+        """Players j whose controls appear in this player's cost."""
+        js = {j for j, _ in self.control_costs}
+        js |= {j for j, _ in self.control_constraints}
+        return tuple(sorted(js))
+
+    def evaluate_stage(self, t, x, us):
+        """Instantaneous cost (constraints excluded) —
+        PlayerCost::Evaluate (src/player_cost.cpp:129-146)."""
+        total = jnp.asarray(0.0, jnp.float32)
+        for c in self.state_costs:
+            total = total + c.evaluate(t, x)
+        for j, c in self.control_costs:
+            total = total + c.evaluate(t, us[j])
+        return total
+
+
+@struct.dataclass
+class ALState:
+    """Augmented-Lagrangian multipliers: one lambda per constraint per knot,
+    plus the global quadratic weight mu (shared by all constraints, matching
+    the reference's static)."""
+
+    state_lambdas: Tuple[jnp.ndarray, ...]  # per player: [n_sc_i, N]
+    control_lambdas: Tuple[jnp.ndarray, ...]  # per player: [n_cc_i, N]
+    mu: jnp.ndarray  # scalar
+
+    @classmethod
+    def init(cls, player_costs, spec: GameSpec, lam0: float = 0.0,
+             mu0: float = DEFAULT_MU) -> "ALState":
+        N = spec.num_time_steps
+        return cls(
+            state_lambdas=tuple(
+                jnp.full((len(pc.state_constraints), N), lam0, jnp.float32)
+                for pc in player_costs
+            ),
+            control_lambdas=tuple(
+                jnp.full((len(pc.control_constraints), N), lam0, jnp.float32)
+                for pc in player_costs
+            ),
+            mu=jnp.asarray(mu0, jnp.float32),
+        )
+
+
+def is_constrained(player_costs) -> bool:
+    return any(pc.is_constrained for pc in player_costs)
+
+
+def total_costs(player_costs, spec: GameSpec, op: OperatingPoint):
+    """Per-player total costs and times of extreme cost
+    (ILQSolver::TotalCosts, src/ilq_solver.cpp:220-258).
+
+    Returns (totals [P], extreme_ks [P] int32). extreme_ks is the argmax /
+    argmin stage for extremal structures (first occurrence, matching the
+    reference's strict-inequality scan); 0 for additive players (unused)."""
+    ts = spec.horizon_times()
+    totals = []
+    extreme_ks = []
+    for pc in player_costs:
+        vals = jax.vmap(pc.evaluate_stage)(ts, op.xs, op.us)  # [N]
+        if pc.structure == STRUCTURE_SUM:
+            totals.append(jnp.sum(vals))
+            extreme_ks.append(jnp.asarray(0, jnp.int32))
+        elif pc.structure == STRUCTURE_MAX:
+            totals.append(jnp.max(vals))
+            extreme_ks.append(jnp.argmax(vals).astype(jnp.int32))
+        else:
+            totals.append(jnp.min(vals))
+            extreme_ks.append(jnp.argmin(vals).astype(jnp.int32))
+    return jnp.stack(totals), jnp.stack(extreme_ks)
+
+
+def quadraticize(
+    player_costs,
+    spec: GameSpec,
+    op: OperatingPoint,
+    al: ALState,
+    extreme_ks: jnp.ndarray,
+) -> QuadraticCosts:
+    """Full-horizon quadratic approximation of every player's cost, vmapped
+    over time (the reference's per-timestep loop,
+    src/ilq_solver.cpp:471-490)."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    xd = spec.xdim
+    um = spec.umax
+    ts = spec.horizon_times()
+    ks = jnp.arange(N)
+    u_mask = spec.u_mask()
+    eye_x = jnp.eye(xd, dtype=jnp.float32)
+
+    Q = jnp.zeros((N, P, xd, xd), jnp.float32)
+    l = jnp.zeros((N, P, xd), jnp.float32)
+    R = jnp.zeros((N, P, P, um, um), jnp.float32)
+    r = jnp.zeros((N, P, P, um), jnp.float32)
+
+    for i, pc in enumerate(player_costs):
+        # ----- state terms -----
+        def state_quad(k, t, x, _pc=pc, _i=i):
+            hess = jnp.zeros((xd, xd), jnp.float32)
+            grad = jnp.zeros((xd,), jnp.float32)
+            for c in _pc.state_costs:
+                h, g = c.quadraticize(t, x)
+                hess, grad = hess + h, grad + g
+            for ci, con in enumerate(_pc.state_constraints):
+                lam = al.state_lambdas[_i][ci, k]
+                h, g = con.quadraticize_al(t, x, lam, al.mu)
+                hess, grad = hess + h, grad + g
+            return hess, grad
+
+        hess_x, grad_x = jax.vmap(state_quad)(ks, ts, op.xs)
+
+        if pc.structure != STRUCTURE_SUM:
+            # Extremal structures: state terms only at the extreme time
+            # (src/ilq_solver.cpp:483-487).
+            mask = (ks == extreme_ks[i]).astype(jnp.float32)
+            hess_x = hess_x * mask[:, None, None]
+            grad_x = grad_x * mask[:, None]
+
+        Q = Q.at[:, i].set(hess_x + pc.state_regularization * eye_x)
+        l = l.at[:, i].set(grad_x)
+
+        # ----- control terms, grouped by which player's control -----
+        for j in pc.control_players():
+            atoms = [c for jj, c in pc.control_costs if jj == j]
+            cons = [
+                (ci, con)
+                for ci, (jj, con) in enumerate(pc.control_constraints)
+                if jj == j
+            ]
+
+            def u_quad(k, t, u, _atoms=atoms, _cons=cons, _i=i):
+                hess = jnp.zeros((um, um), jnp.float32)
+                grad = jnp.zeros((um,), jnp.float32)
+                for c in _atoms:
+                    h, g = c.quadraticize(t, u)
+                    hess, grad = hess + h, grad + g
+                for ci, con in _cons:
+                    lam = al.control_lambdas[_i][ci, k]
+                    h, g = con.quadraticize_al(t, u, lam, al.mu)
+                    hess, grad = hess + h, grad + g
+                return hess, grad
+
+            hess_u, grad_u = jax.vmap(u_quad)(ks, ts, op.us[:, j])
+            # Regularization only on this player's real control dims
+            # (SingleCostApproximation ctor initializes hess = reg * I).
+            reg = pc.control_regularization * jnp.diag(u_mask[j])
+            R = R.at[:, i, j].set(hess_u + reg)
+            r = r.at[:, i, j].set(grad_u)
+
+    return QuadraticCosts(Q=Q, l=l, R=R, r=r)

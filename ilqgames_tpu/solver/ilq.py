@@ -1,0 +1,249 @@
+"""The iterative LQ game solver: one jitted, batchable `solve` function.
+
+Reference parity (src/ilq_solver.cpp:76-492):
+  1. forward rollout of the joint dynamics under the current affine
+     strategies (CurrentOperatingPoint, :174-206);
+  2. quadraticize all players' costs along the trajectory (:471-490);
+  3. linearize dynamics (:437-455; constant for flat systems);
+  4. solve the time-varying coupled LQ game (feedback or open-loop kernel);
+  5. Armijo-backtracking linesearch on the affine terms with the merit
+     function 0.5*||stage gradients||^2 re-quadraticized at every trial
+     point (:289-435) — the costate terms of the merit are omitted exactly
+     as in the shipped code (:384-393, :421-428);
+  6. converged when the merit decreased and the decrease is below tolerance
+     (solver/ilq_solver.h:126-130).
+
+TPU design: the whole solve is a jax.lax.while_loop over iterations with an
+inner while_loop for backtracking; everything vmaps over a leading batch of
+problem instances (varying x0 / warm starts / multipliers). No Python-level
+control flow depends on traced values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqgames_tpu.costs import player_cost as pcost
+from ilqgames_tpu.dynamics import base as dyn_base
+from ilqgames_tpu.solver.lq_feedback import solve_lq_feedback
+from ilqgames_tpu.solver.lq_open_loop import solve_lq_open_loop
+from ilqgames_tpu.solver.params import SolverParams
+from ilqgames_tpu.types import (
+    GameSpec,
+    LinearDynamics,
+    OperatingPoint,
+    QuadraticCosts,
+    Strategy,
+)
+
+_INF = jnp.float32(jnp.inf)
+
+
+@struct.dataclass
+class ILQResult:
+    op: OperatingPoint
+    strategy: Strategy
+    total_costs: jnp.ndarray  # [P]
+    extreme_ks: jnp.ndarray  # [P] int32
+    converged: jnp.ndarray  # bool
+    failed: jnp.ndarray  # bool (linesearch failure)
+    num_iterations: jnp.ndarray  # int32
+    merit: jnp.ndarray  # final merit function value
+    quad: QuadraticCosts  # quadraticization at the final operating point
+
+
+def _merit(spec: GameSpec, quad: QuadraticCosts) -> jnp.ndarray:
+    """0.5 * sum of squared stage gradients: own-control gradients at every
+    knot, state gradients at k >= 1 (MeritFunction, src/ilq_solver.cpp:404-435)."""
+    r_ii = jnp.einsum("kiiu->kiu", quad.r)  # [N, P, umax]
+    control_term = jnp.sum(r_ii * r_ii)
+    state_term = jnp.sum(quad.l[1:] * quad.l[1:])
+    return 0.5 * (control_term + state_term)
+
+
+def _expected_decrease(
+    spec: GameSpec, quad: QuadraticCosts, alphas: jnp.ndarray,
+    delta_xs: jnp.ndarray
+) -> jnp.ndarray:
+    """ExpectedDecrease (src/ilq_solver.cpp:364-398), shipped form: costate
+    contributions omitted; uses the *unscaled* LQ alphas and delta_xs."""
+    R_ii = jnp.einsum("kiiuv->kiuv", quad.R)  # [N, P, u, u]
+    r_ii = jnp.einsum("kiiu->kiu", quad.r)  # [N, P, u]
+    control = -jnp.einsum("kiu,kiuv,kiv->", alphas, R_ii, r_ii)
+    state = -jnp.einsum("kx,kixy,kiy->", delta_xs[1:], quad.Q[1:], quad.l[1:])
+    return control + state
+
+
+@struct.dataclass
+class _LinesearchCarry:
+    strategy: Strategy
+    op: OperatingPoint
+    quad: QuadraticCosts
+    merit: jnp.ndarray
+    stepsize: jnp.ndarray
+    step: jnp.ndarray
+    done: jnp.ndarray  # Armijo satisfied
+
+
+@struct.dataclass
+class _SolveCarry:
+    op: OperatingPoint
+    strategy: Strategy
+    quad: QuadraticCosts
+    extreme_ks: jnp.ndarray
+    last_merit: jnp.ndarray
+    iteration: jnp.ndarray
+    converged: jnp.ndarray
+    failed: jnp.ndarray
+
+
+def solve(
+    dyn: dyn_base.MultiPlayerDynamics,
+    player_costs: Tuple[pcost.PlayerCost, ...],
+    spec: GameSpec,
+    params: SolverParams,
+    x0: jnp.ndarray,
+    warm_op: OperatingPoint,
+    warm_strategy: Strategy,
+    al_state: Optional[pcost.ALState] = None,
+    max_iterations: Optional[int] = None,
+) -> ILQResult:
+    """Run the iLQ game solver from a warm start.
+
+    All arguments after `params` are traced; vmap over a leading batch axis
+    of (x0, warm_op, warm_strategy, al_state) for batched solving.
+    """
+    if al_state is None:
+        al_state = pcost.ALState.init(player_costs, spec)
+    max_iters = (
+        params.max_solver_iters if max_iterations is None else max_iterations
+    )
+
+    def lq_solve(lin: LinearDynamics, quad: QuadraticCosts, dx0):
+        if params.open_loop:
+            return solve_lq_open_loop(spec, lin, quad, dx0)
+        return solve_lq_feedback(
+            spec, lin, quad, dx0,
+            adaptive_regularization=params.adaptive_regularization,
+        )
+
+    def quadraticize(op, extreme_ks):
+        return pcost.quadraticize(player_costs, spec, op, al_state, extreme_ks)
+
+    # --- initialization (src/ilq_solver.cpp:82-121) ---
+    last_op = warm_op.replace(xs=warm_op.xs.at[0].set(x0))
+    current_op = dyn_base.rollout(dyn, spec, x0, last_op, warm_strategy)
+    totals0, extreme_ks0 = pcost.total_costs(player_costs, spec, current_op)
+    quad0 = quadraticize(current_op, extreme_ks0)
+
+    init = _SolveCarry(
+        op=current_op,
+        strategy=warm_strategy,
+        quad=quad0,
+        extreme_ks=extreme_ks0,
+        last_merit=_INF,
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        failed=jnp.asarray(False),
+    )
+
+    def cond(c: _SolveCarry):
+        return (c.iteration < max_iters) & ~c.converged & ~c.failed
+
+    def body(c: _SolveCarry) -> _SolveCarry:
+        lin = dyn_base.linearize(dyn, spec, c.op)
+        lqsol = lq_solve(lin, c.quad, x0 - c.op.xs[0])
+
+        # --- ModifyLQStrategies (src/ilq_solver.cpp:289-348) ---
+        expected_decrease = _expected_decrease(
+            spec, c.quad, lqsol.strategy.alphas, lqsol.delta_xs
+        )
+        scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
+        last_op = c.op
+        trial_op = dyn_base.rollout(dyn, spec, x0, last_op, scaled)
+
+        if not params.linesearch:
+            totals, extreme_ks = pcost.total_costs(player_costs, spec, trial_op)
+            quad = quadraticize(trial_op, extreme_ks)
+            return c.replace(
+                op=trial_op,
+                strategy=scaled,
+                quad=quad,
+                extreme_ks=extreme_ks,
+                iteration=c.iteration + 1,
+            )
+
+        def ls_cond(ls: _LinesearchCarry):
+            return ~ls.done & (ls.step < params.max_backtracking_steps)
+
+        def ls_body(ls: _LinesearchCarry) -> _LinesearchCarry:
+            quad = quadraticize(ls.op, c.extreme_ks)
+            merit = _merit(spec, quad)
+            # Armijo (src/ilq_solver.cpp:350-362).
+            ok = (c.last_merit - merit) >= (
+                params.expected_decrease_fraction * ls.stepsize
+                * expected_decrease
+            )
+            # On failure: scale alphas down and re-roll.
+            shrunk = ls.strategy.scale_alphas(params.geometric_alpha_scaling)
+            new_op = dyn_base.rollout(dyn, spec, x0, last_op, shrunk)
+            keep = lambda a, b: jnp.where(ok, a, b)
+            return _LinesearchCarry(
+                strategy=jax.tree_util.tree_map(keep, ls.strategy, shrunk),
+                op=jax.tree_util.tree_map(keep, ls.op, new_op),
+                quad=quad,
+                merit=merit,
+                stepsize=keep(ls.stepsize,
+                              ls.stepsize * params.geometric_alpha_scaling),
+                step=ls.step + 1,
+                done=ok,
+            )
+
+        ls0 = _LinesearchCarry(
+            strategy=scaled,
+            op=trial_op,
+            quad=c.quad,
+            merit=c.last_merit,
+            stepsize=jnp.asarray(params.initial_alpha_scaling, jnp.float32),
+            step=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+        )
+        ls = jax.lax.while_loop(ls_cond, ls_body, ls0)
+
+        failed = ~ls.done  # exceeded max backtracking steps
+        converged = ls.done & (ls.merit <= c.last_merit) & (
+            jnp.abs(c.last_merit - ls.merit) < params.convergence_tolerance
+        )
+        totals, extreme_ks = pcost.total_costs(player_costs, spec, ls.op)
+        # On linesearch failure the reference reverts to the last accepted
+        # iterate (its log never records the failed trial,
+        # src/ilq_solver.cpp:146-155).
+        accept = lambda a, b: jnp.where(ls.done, a, b)
+        return _SolveCarry(
+            op=jax.tree_util.tree_map(accept, ls.op, c.op),
+            strategy=jax.tree_util.tree_map(accept, ls.strategy, c.strategy),
+            quad=jax.tree_util.tree_map(accept, ls.quad, c.quad),
+            extreme_ks=accept(extreme_ks, c.extreme_ks),
+            last_merit=accept(ls.merit, c.last_merit),
+            iteration=c.iteration + 1,
+            converged=converged,
+            failed=failed,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    totals, _ = pcost.total_costs(player_costs, spec, final.op)
+    return ILQResult(
+        op=final.op,
+        strategy=final.strategy,
+        total_costs=totals,
+        extreme_ks=final.extreme_ks,
+        converged=final.converged,
+        failed=final.failed,
+        num_iterations=final.iteration,
+        merit=final.last_merit,
+        quad=final.quad,
+    )

@@ -1,0 +1,48 @@
+"""Solver parameters (reference solver/solver_params.h:50-84).
+
+A static (hashable) dataclass closed over at trace time. Wall-clock
+"anytime" budgets from the reference become iteration budgets here; the
+host-side runtime (runtime/) layers real-time cutoffs on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    # Convergence: merit decreased and |delta merit| below tolerance
+    # (solver/ilq_solver.h:126-130).
+    convergence_tolerance: float = 1e-1
+    max_solver_iters: int = 1000
+
+    # Armijo linesearch (src/ilq_solver.cpp:289-362).
+    linesearch: bool = True
+    initial_alpha_scaling: float = 0.5
+    geometric_alpha_scaling: float = 0.5
+    max_backtracking_steps: int = 10
+    expected_decrease_fraction: float = 0.1
+
+    # Open-loop vs feedback Nash.
+    open_loop: bool = False
+
+    # State and control regularization (added in PlayerCost construction).
+    state_regularization: float = 0.0
+    control_regularization: float = 0.0
+
+    # Augmented Lagrangian (src/augmented_lagrangian_solver.cpp:72-210).
+    unconstrained_solver_max_iters: int = 10
+    geometric_mu_scaling: float = 1.1
+    geometric_mu_downscaling: float = 0.5
+    geometric_lambda_downscaling: float = 0.5
+    constraint_error_tolerance: float = 1e-1
+    max_al_iters: int = 100  # outer-loop cap (mains use 100)
+
+    # Reset behavior after an AL solve.
+    reset_problem: bool = True
+    reset_lambdas: bool = True
+    reset_mu: bool = True
+
+    # LQ kernel regularization (Gershgorin; src/lq_feedback_solver.cpp:163).
+    adaptive_regularization: bool = True
