@@ -1,0 +1,97 @@
+"""Benchmark: batched three-player-intersection solves per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference C++ solver demonstrably completes one warm-started
+constrained solve of this problem class in <= 0.25 s on one CPU core
+(src/receding_horizon_simulator.cpp:119) — i.e. 4 solves/sec — and our
+measured cold-solve time of the unmodified reference binary is recorded in
+baselines/ (see baselines/README.md). vs_baseline uses the measured
+reference number when available, else the 4 solves/sec budget bound.
+
+The benchmarked work is tolerance-matched: every instance runs the full AL
+outer loop + iLQ inner loops to the same iterate budget as the reference
+exec main (100 cumulative iLQ iterations, linesearch on).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _reference_solves_per_sec() -> float:
+    """Measured single-core reference throughput if recorded, else the
+    hard 0.25 s/solve budget from the reference code."""
+    path = os.path.join(os.path.dirname(__file__), "baselines", "measured.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return 1.0 / float(data["three_player_intersection"]["mean_solve_s"])
+    except Exception:
+        return 4.0
+
+
+def main():
+    from ilqgames_tpu.examples.three_player_intersection import make_problem
+    from ilqgames_tpu.parallel import mesh as pmesh
+    from ilqgames_tpu.solver.params import SolverParams
+
+    problem = make_problem()
+    params = SolverParams(
+        max_solver_iters=100,
+        unconstrained_solver_max_iters=10,
+        max_backtracking_steps=100,
+        initial_alpha_scaling=0.1,
+        convergence_tolerance=1.0,
+        expected_decrease_fraction=0.001,
+    )
+
+    n_chips = jax.device_count()
+    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_chips
+    rng = np.random.RandomState(0)
+    x0 = np.tile(np.asarray(problem.x0)[None], (batch, 1))
+    # Perturb initial positions/speeds so instances are genuinely distinct.
+    x0 += 0.1 * rng.randn(*x0.shape).astype(np.float32)
+
+    mesh = pmesh.make_mesh()
+    solver = pmesh.make_batched_solver(problem, params, mesh)
+    x0 = jax.device_put(
+        jnp.asarray(x0),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(pmesh.BATCH_AXIS)
+        ),
+    )
+
+    # Warmup/compile.
+    res = solver(x0)
+    jax.block_until_ready(res.op.xs)
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = solver(x0)
+        jax.block_until_ready(res.op.xs)
+    elapsed = (time.perf_counter() - t0) / reps
+
+    solves_per_sec_per_chip = batch / elapsed / n_chips
+    baseline = _reference_solves_per_sec()
+    print(
+        json.dumps(
+            {
+                "metric": "three_player_intersection_solves_per_sec_per_chip",
+                "value": round(solves_per_sec_per_chip, 3),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_sec_per_chip / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,9 @@ class _ALCarry:
     success: jnp.ndarray
     max_violation: jnp.ndarray
     cum_iters: jnp.ndarray
+    # Reference ILQSolver::last_merit_function_value_ persists across inner
+    # solves within one AL solve (never reset between Solve() calls).
+    merit: jnp.ndarray
 
 
 def solve(
@@ -126,10 +129,10 @@ def solve(
         else params.max_solver_iters
     )
 
-    def inner_solve(al, op, strategy):
+    def inner_solve(al, op, strategy, last_merit=None):
         return ilq.solve(
             dyn, player_costs, spec, params, x0, op, strategy,
-            al_state=al, max_iterations=inner_budget,
+            al_state=al, max_iterations=inner_budget, last_merit=last_merit,
         )
 
     first = inner_solve(al_state, warm_op, warm_strategy)
@@ -155,6 +158,7 @@ def solve(
         success=~first.failed,
         max_violation=jnp.asarray(jnp.inf, jnp.float32),
         cum_iters=first.num_iterations,
+        merit=first.merit,
     )
 
     def cond(c: _ALCarry):
@@ -177,7 +181,7 @@ def solve(
             keep, c.result_strategy, c.warm_strategy
         )
 
-        res = inner_solve(al, op, strategy)
+        res = inner_solve(al, op, strategy, c.merit)
         inner_ok = ~res.failed
 
         # On failure, downscale all multipliers (…cpp:166-178).
@@ -204,6 +208,7 @@ def solve(
             success=c.success & inner_ok,
             max_violation=violation,
             cum_iters=c.cum_iters + res.num_iterations,
+            merit=res.merit,
         )
 
     final = jax.lax.while_loop(cond, body, init)

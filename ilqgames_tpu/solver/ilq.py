@@ -111,11 +111,17 @@ def solve(
     warm_strategy: Strategy,
     al_state: Optional[pcost.ALState] = None,
     max_iterations: Optional[int] = None,
+    last_merit: Optional[jnp.ndarray] = None,
 ) -> ILQResult:
     """Run the iLQ game solver from a warm start.
 
     All arguments after `params` are traced; vmap over a leading batch axis
     of (x0, warm_op, warm_strategy, al_state) for batched solving.
+
+    `last_merit` carries the merit value across successive inner solves in
+    the AL outer loop, matching the reference's persistent
+    `last_merit_function_value_` member (solver/ilq_solver.h) which is
+    never reset between Solve() calls.
     """
     if al_state is None:
         al_state = pcost.ALState.init(player_costs, spec)
@@ -145,7 +151,7 @@ def solve(
         strategy=warm_strategy,
         quad=quad0,
         extreme_ks=extreme_ks0,
-        last_merit=_INF,
+        last_merit=_INF if last_merit is None else last_merit,
         iteration=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
         failed=jnp.asarray(False),
