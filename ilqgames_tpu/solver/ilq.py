@@ -13,10 +13,15 @@ Reference parity (src/ilq_solver.cpp:76-492):
   6. converged when the merit decreased and the decrease is below tolerance
      (solver/ilq_solver.h:126-130).
 
-TPU design: the whole solve is a jax.lax.while_loop over iterations with an
-inner while_loop for backtracking; everything vmaps over a leading batch of
-problem instances (varying x0 / warm starts / multipliers). No Python-level
-control flow depends on traced values.
+TPU design: the whole solve is a jax.lax.while_loop over iterations;
+the backtracking linesearch is PARALLEL, unlike the reference's sequential
+loop: all candidate step sizes are rolled out and merit-evaluated at once
+(gradient-only merits -- no Hessians), and the first Armijo-passing
+candidate is selected, which is exactly the reference's accept rule with
+~100x less sequential depth (the right trade on TPU, where the extra
+width is free and latency is the bottleneck). Everything vmaps over a
+leading batch of problem instances. No Python-level control flow depends
+on traced values.
 """
 
 from __future__ import annotations
@@ -78,15 +83,6 @@ def _expected_decrease(
     return control + state
 
 
-@struct.dataclass
-class _LinesearchCarry:
-    strategy: Strategy
-    op: OperatingPoint
-    quad: QuadraticCosts
-    merit: jnp.ndarray
-    stepsize: jnp.ndarray
-    step: jnp.ndarray
-    done: jnp.ndarray  # Armijo satisfied
 
 
 @struct.dataclass
@@ -168,11 +164,11 @@ def solve(
         expected_decrease = _expected_decrease(
             spec, c.quad, lqsol.strategy.alphas, lqsol.delta_xs
         )
-        scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
         last_op = c.op
-        trial_op = dyn_base.rollout(dyn, spec, x0, last_op, scaled)
 
         if not params.linesearch:
+            scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
+            trial_op = dyn_base.rollout(dyn, spec, x0, last_op, scaled)
             totals, extreme_ks = pcost.total_costs(player_costs, spec, trial_op)
             quad = quadraticize(trial_op, extreme_ks)
             return c.replace(
@@ -183,58 +179,58 @@ def solve(
                 iteration=c.iteration + 1,
             )
 
-        def ls_cond(ls: _LinesearchCarry):
-            return ~ls.done & (ls.step < params.max_backtracking_steps)
-
-        def ls_body(ls: _LinesearchCarry) -> _LinesearchCarry:
-            quad = quadraticize(ls.op, c.extreme_ks)
-            merit = _merit(spec, quad)
-            # Armijo (src/ilq_solver.cpp:350-362).
-            ok = (c.last_merit - merit) >= (
-                params.expected_decrease_fraction * ls.stepsize
-                * expected_decrease
-            )
-            # On failure: scale alphas down and re-roll.
-            shrunk = ls.strategy.scale_alphas(params.geometric_alpha_scaling)
-            new_op = dyn_base.rollout(dyn, spec, x0, last_op, shrunk)
-            keep = lambda a, b: jnp.where(ok, a, b)
-            return _LinesearchCarry(
-                strategy=jax.tree_util.tree_map(keep, ls.strategy, shrunk),
-                op=jax.tree_util.tree_map(keep, ls.op, new_op),
-                quad=quad,
-                merit=merit,
-                stepsize=keep(ls.stepsize,
-                              ls.stepsize * params.geometric_alpha_scaling),
-                step=ls.step + 1,
-                done=ok,
-            )
-
-        ls0 = _LinesearchCarry(
-            strategy=scaled,
-            op=trial_op,
-            quad=c.quad,
-            merit=c.last_merit,
-            stepsize=jnp.asarray(params.initial_alpha_scaling, jnp.float32),
-            step=jnp.asarray(0, jnp.int32),
-            done=jnp.asarray(False),
+        # --- PARALLEL linesearch: every candidate stepsize at once. The
+        # reference tries initial, initial*g, initial*g^2, ... sequentially
+        # and accepts the first Armijo pass (src/ilq_solver.cpp:325-343);
+        # evaluating the whole geometric ladder in parallel and selecting
+        # the first passing index is the same rule, and merit needs only
+        # stage GRADIENTS, not full quadraticizations.
+        n_cand = params.max_backtracking_steps
+        scalings = params.initial_alpha_scaling * (
+            params.geometric_alpha_scaling
+            ** jnp.arange(n_cand, dtype=jnp.float32)
         )
-        ls = jax.lax.while_loop(ls_cond, ls_body, ls0)
 
-        failed = ~ls.done  # exceeded max backtracking steps
-        converged = ls.done & (ls.merit <= c.last_merit) & (
-            jnp.abs(c.last_merit - ls.merit) < params.convergence_tolerance
+        def try_scale(s):
+            strat = lqsol.strategy.scale_alphas(s)
+            op_s = dyn_base.rollout(dyn, spec, x0, last_op, strat)
+            l, r_own = pcost.gradients(
+                player_costs, spec, op_s, al_state, c.extreme_ks
+            )
+            merit = 0.5 * (jnp.sum(r_own * r_own) + jnp.sum(l[1:] * l[1:]))
+            return op_s, merit
+
+        cand_ops, merits = jax.vmap(try_scale)(scalings)
+
+        # Armijo condition per candidate (src/ilq_solver.cpp:350-362).
+        ok = (c.last_merit - merits) >= (
+            params.expected_decrease_fraction * scalings * expected_decrease
         )
-        totals, extreme_ks = pcost.total_costs(player_costs, spec, ls.op)
+        passed = jnp.any(ok)
+        idx = jnp.argmax(ok)  # first passing stepsize (largest alpha)
+
+        op_sel = jax.tree_util.tree_map(lambda a: a[idx], cand_ops)
+        merit_sel = merits[idx]
+        strategy_sel = lqsol.strategy.scale_alphas(scalings[idx])
+        # One full quadraticization at the accepted iterate (the reference
+        # retains the one computed inside MeritFunction; same values).
+        quad_sel = quadraticize(op_sel, c.extreme_ks)
+
+        failed = ~passed  # no candidate satisfied Armijo
+        converged = passed & (merit_sel <= c.last_merit) & (
+            jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
+        )
+        totals, extreme_ks = pcost.total_costs(player_costs, spec, op_sel)
         # On linesearch failure the reference reverts to the last accepted
         # iterate (its log never records the failed trial,
         # src/ilq_solver.cpp:146-155).
-        accept = lambda a, b: jnp.where(ls.done, a, b)
+        accept = lambda a, b: jnp.where(passed, a, b)
         return _SolveCarry(
-            op=jax.tree_util.tree_map(accept, ls.op, c.op),
-            strategy=jax.tree_util.tree_map(accept, ls.strategy, c.strategy),
-            quad=jax.tree_util.tree_map(accept, ls.quad, c.quad),
+            op=jax.tree_util.tree_map(accept, op_sel, c.op),
+            strategy=jax.tree_util.tree_map(accept, strategy_sel, c.strategy),
+            quad=jax.tree_util.tree_map(accept, quad_sel, c.quad),
             extreme_ks=accept(extreme_ks, c.extreme_ks),
-            last_merit=accept(ls.merit, c.last_merit),
+            last_merit=accept(merit_sel, c.last_merit),
             iteration=c.iteration + 1,
             converged=converged,
             failed=failed,
