@@ -380,10 +380,14 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
             jnp.array([weight * uy * uy, weight * ux * ux,
                        -weight * ux * uy]),
         )
-        # Gradient is shared between branches (shipped code computes it from
-        # the closest point in both cases).
-        dx = dxv * gate
-        dy = dyv * gate
+        # Interior branch replaces the gradient with the cross-track form
+        # (src/semiquadratic_polyline2_cost.cpp:126-135).
+        rel = q - res.segment_start
+        w_cross = weight * (rel[0] * uy - rel[1] * ux - threshold)
+        dxi = w_cross * uy
+        dyi = -w_cross * ux
+        dx = jnp.where(res.is_vertex, dxv, dxi) * gate
+        dy = jnp.where(res.is_vertex, dyv, dyi) * gate
         ddx = hess_iv[0] * gate
         ddy = hess_iv[1] * gate
         dxdy = hess_iv[2] * gate
@@ -517,7 +521,7 @@ def final_time(inner: Cost, threshold_time: float,
 
     def quad_fn(t, v):
         hess, grad = inner.quadraticize(t, v)
-        gate = (t >= threshold_time).astype(hess.dtype)
+        gate = jnp.asarray(t >= threshold_time, hess.dtype)
         return hess * gate, grad * gate
 
     return Cost(name, evaluate, quad_fn)

@@ -121,6 +121,57 @@ def total_costs(player_costs, spec: GameSpec, op: OperatingPoint):
     return jnp.stack(totals), jnp.stack(extreme_ks)
 
 
+def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
+    """Gradients of every player's cost at ONE stage: (l [P,xdim],
+    r_own [P,umax]) — the gradient components of `quadraticize` (custom
+    quad_fn overrides included) without Hessians. Usable inside scans so a
+    rollout can accumulate merit terms on the fly."""
+    P = spec.num_players
+    xd = spec.xdim
+    um = spec.umax
+
+    ls = []
+    rs = []
+    for i, pc in enumerate(player_costs):
+        grad = jnp.zeros((xd,), jnp.float32)
+        for c in pc.state_costs:
+            if c.quad_fn is not None:
+                _, g = c.quad_fn(t, x)
+            else:
+                g = jax.grad(c.evaluate, argnums=1)(t, x)
+            grad = grad + g
+        for ci, con in enumerate(pc.state_constraints):
+            lam = al.state_lambdas[i][ci, k]
+            if con.quad_fn is not None:
+                _, g = con.quad_fn(t, x, lam, al.mu)
+            else:
+                g = jax.grad(con.evaluate_al, argnums=1)(t, x, lam, al.mu)
+            grad = grad + g
+        ls.append(grad)
+
+        ug = jnp.zeros((um,), jnp.float32)
+        for jj, c in pc.control_costs:
+            if jj != i:
+                continue
+            if c.quad_fn is not None:
+                _, g = c.quad_fn(t, us[i])
+            else:
+                g = jax.grad(c.evaluate, argnums=1)(t, us[i])
+            ug = ug + g
+        for ci, (jj, con) in enumerate(pc.control_constraints):
+            if jj != i:
+                continue
+            lam = al.control_lambdas[i][ci, k]
+            if con.quad_fn is not None:
+                _, g = con.quad_fn(t, us[i], lam, al.mu)
+            else:
+                g = jax.grad(con.evaluate_al, argnums=1)(t, us[i], lam, al.mu)
+            ug = ug + g
+        rs.append(ug)
+
+    return jnp.stack(ls), jnp.stack(rs)
+
+
 def gradients(
     player_costs,
     spec: GameSpec,
@@ -128,81 +179,24 @@ def gradients(
     al: ALState,
     extreme_ks: jnp.ndarray,
 ):
-    """Stage gradients only: (l [N,P,xdim], r_own [N,P,umax]).
-
-    Exactly the gradient components of `quadraticize` (including custom
-    quad_fn overrides, whose shipped gradients deviate from autodiff for
-    a few cost families), at a fraction of the cost — no Hessians. This
-    is all the merit function needs (src/ilq_solver.cpp:400-435), which
-    makes a fully parallel linesearch cheap: evaluate every backtracking
-    candidate's merit at once instead of the reference's sequential
-    re-quadraticization per trial step.
-
-    Note: regularization terms are pure diagonal Hessian shifts with zero
-    gradient, so they don't appear here.
-    """
+    """Full-horizon stage gradients (l [N,P,xdim], r_own [N,P,umax]) —
+    vmapped stage_gradients with MAX/MIN extreme-time gating
+    (src/ilq_solver.cpp:483-487). All the merit function needs
+    (src/ilq_solver.cpp:400-435)."""
     N = spec.num_time_steps
-    P = spec.num_players
-    xd = spec.xdim
-    um = spec.umax
     ts = spec.horizon_times()
     ks = jnp.arange(N)
 
-    l = jnp.zeros((N, P, xd), jnp.float32)
-    r_own = jnp.zeros((N, P, um), jnp.float32)
+    l, r_own = jax.vmap(
+        lambda k, t, x, us: stage_gradients(player_costs, spec, al, k, t, x, us)
+    )(ks, ts, op.xs, op.us)
 
+    # Extremal structures: state gradients only at the extreme time.
+    gate = jnp.ones((N, spec.num_players), jnp.float32)
     for i, pc in enumerate(player_costs):
-        def state_grad(k, t, x, _pc=pc, _i=i):
-            grad = jnp.zeros((xd,), jnp.float32)
-            for c in _pc.state_costs:
-                if c.quad_fn is not None:
-                    _, g = c.quad_fn(t, x)
-                else:
-                    g = jax.grad(c.evaluate, argnums=1)(t, x)
-                grad = grad + g
-            for ci, con in enumerate(_pc.state_constraints):
-                lam = al.state_lambdas[_i][ci, k]
-                if con.quad_fn is not None:
-                    _, g = con.quad_fn(t, x, lam, al.mu)
-                else:
-                    g = jax.grad(con.evaluate_al, argnums=1)(t, x, lam, al.mu)
-                grad = grad + g
-            return grad
-
-        grad_x = jax.vmap(state_grad)(ks, ts, op.xs)
         if pc.structure != STRUCTURE_SUM:
-            mask = (ks == extreme_ks[i]).astype(jnp.float32)
-            grad_x = grad_x * mask[:, None]
-        l = l.at[:, i].set(grad_x)
-
-        # Own-control gradient only (the merit uses r_ii; cross terms r_ij
-        # never enter it).
-        atoms_own = [c for jj, c in pc.control_costs if jj == i]
-        cons_own = [
-            (ci, con)
-            for ci, (jj, con) in enumerate(pc.control_constraints)
-            if jj == i
-        ]
-
-        def u_grad(k, t, u, _atoms=atoms_own, _cons=cons_own, _i=i):
-            grad = jnp.zeros((um,), jnp.float32)
-            for c in _atoms:
-                if c.quad_fn is not None:
-                    _, g = c.quad_fn(t, u)
-                else:
-                    g = jax.grad(c.evaluate, argnums=1)(t, u)
-                grad = grad + g
-            for ci, con in _cons:
-                lam = al.control_lambdas[_i][ci, k]
-                if con.quad_fn is not None:
-                    _, g = con.quad_fn(t, u, lam, al.mu)
-                else:
-                    g = jax.grad(con.evaluate_al, argnums=1)(t, u, lam, al.mu)
-                grad = grad + g
-            return grad
-
-        r_own = r_own.at[:, i].set(jax.vmap(u_grad)(ks, ts, op.us[:, i]))
-
+            gate = gate.at[:, i].set((ks == extreme_ks[i]).astype(jnp.float32))
+    l = l * gate[:, :, None]
     return l, r_own
 
 

@@ -13,6 +13,7 @@ from typing import Callable, Dict
 _REGISTRY: Dict[str, str] = {
     "three_player_intersection": "ilqgames_tpu.examples.three_player_intersection",
     "three_player_flat_intersection": "ilqgames_tpu.examples.three_player_flat_intersection",
+    "two_player_collision": "ilqgames_tpu.examples.two_player_collision",
 }
 
 

@@ -94,6 +94,61 @@ class Problem:
         fn = jax.jit(run) if jit else run
         return fn(x0, warm_op, warm_strategy, al_state)
 
+    def solve_logged(
+        self,
+        params: SolverParams = SolverParams(),
+        x0: Optional[jnp.ndarray] = None,
+        warm_op: Optional[OperatingPoint] = None,
+        warm_strategy: Optional[Strategy] = None,
+        max_iterations: Optional[int] = None,
+    ):
+        """iLQ solve with the full iterate history as a SolverLog
+        (reference ILQSolver::Solve populating utils/solver_log.h)."""
+        import numpy as np
+
+        from ilqgames_tpu.costs import player_cost as pcost
+        from ilqgames_tpu.utils.solver_log import SolverLog
+
+        x0 = self.x0 if x0 is None else x0
+        warm_op = self.initial_operating_point() if warm_op is None else warm_op
+        warm_strategy = (
+            self.initial_strategy() if warm_strategy is None else warm_strategy
+        )
+
+        res = jax.jit(
+            lambda x, op, st: ilq.solve(
+                self.dynamics, self.player_costs, self.spec, params,
+                x, op, st, max_iterations=max_iterations,
+                record_history=True,
+            )
+        )(x0, warm_op, warm_strategy)
+
+        ops, strats, merits, conv, failed, active = res.history
+        log = SolverLog(spec=self.spec)
+        # Iterate 0 is the initial rollout (src/ilq_solver.cpp:107-112).
+        first_op = jax.tree_util.tree_map(lambda a: a[0], ops)
+        from ilqgames_tpu.dynamics.base import rollout
+
+        init_rollout = jax.jit(
+            lambda x, op, st: rollout(
+                self.dynamics, self.spec, x,
+                op.replace(xs=op.xs.at[0].set(x)), st,
+            )
+        )(x0, warm_op, warm_strategy)
+        t0, _ = pcost.total_costs(self.player_costs, self.spec, init_rollout)
+        log.add_iterate(init_rollout, warm_strategy, np.asarray(t0))
+        for i in range(int(np.asarray(active).sum())):
+            op_i = jax.tree_util.tree_map(lambda a: a[i], ops)
+            st_i = jax.tree_util.tree_map(lambda a: a[i], strats)
+            costs_i, _ = pcost.total_costs(
+                self.player_costs, self.spec, op_i
+            )
+            log.add_iterate(
+                op_i, st_i, np.asarray(costs_i),
+                converged=bool(np.asarray(conv)[i]),
+            )
+        return res, log
+
     def solve_unconstrained(
         self,
         params: SolverParams = SolverParams(),

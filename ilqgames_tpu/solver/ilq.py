@@ -59,6 +59,9 @@ class ILQResult:
     num_iterations: jnp.ndarray  # int32
     merit: jnp.ndarray  # final merit function value
     quad: QuadraticCosts  # quadraticization at the final operating point
+    # When record_history: per-iteration (op, strategy, merit, converged,
+    # failed, active) stacked along axis 0; else None.
+    history: Optional[tuple] = None
 
 
 def _merit(spec: GameSpec, quad: QuadraticCosts) -> jnp.ndarray:
@@ -108,6 +111,7 @@ def solve(
     al_state: Optional[pcost.ALState] = None,
     max_iterations: Optional[int] = None,
     last_merit: Optional[jnp.ndarray] = None,
+    record_history: bool = False,
 ) -> ILQResult:
     """Run the iLQ game solver from a warm start.
 
@@ -191,16 +195,53 @@ def solve(
             ** jnp.arange(n_cand, dtype=jnp.float32)
         )
 
-        def try_scale(s):
-            strat = lqsol.strategy.scale_alphas(s)
-            op_s = dyn_base.rollout(dyn, spec, x0, last_op, strat)
-            l, r_own = pcost.gradients(
-                player_costs, spec, op_s, al_state, c.extreme_ks
-            )
-            merit = 0.5 * (jnp.sum(r_own * r_own) + jnp.sum(l[1:] * l[1:]))
-            return op_s, merit
+        # Fused sweep: ONE scan over time advances all candidates' rollouts
+        # together and accumulates each candidate's merit from per-stage
+        # gradients in the carry — no per-candidate trajectory or gradient
+        # arrays are materialized.
+        u_mask = spec.u_mask()
+        extreme_gate = jnp.ones((spec.num_time_steps, spec.num_players),
+                                jnp.float32)
+        ks_all = jnp.arange(spec.num_time_steps)
+        for _i, _pc in enumerate(player_costs):
+            if _pc.structure != pcost.STRUCTURE_SUM:
+                extreme_gate = extreme_gate.at[:, _i].set(
+                    (ks_all == c.extreme_ks[_i]).astype(jnp.float32)
+                )
 
-        cand_ops, merits = jax.vmap(try_scale)(scalings)
+        def sweep_step(carry, inputs):
+            xs_c, merit_c = carry  # [C, xdim], [C]
+            k, x_ref, u_ref, P_ref, alpha = inputs
+
+            def one(x_k, s, m):
+                delta = x_k - x_ref
+                us = (
+                    u_ref
+                    - jnp.einsum("pux,x->pu", P_ref, delta)
+                    - s * alpha
+                ) * u_mask
+                t = last_op.t0 + k.astype(jnp.float32) * spec.dt
+                l_k, r_k = pcost.stage_gradients(
+                    player_costs, spec, al_state, k, t, x_k, us
+                )
+                l_k = l_k * extreme_gate[k][:, None]
+                state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
+                m_new = m + jnp.sum(r_k * r_k) + state_term
+                x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
+                return x_next, m_new
+
+            xs_c, merit_c = jax.vmap(one)(xs_c, scalings, merit_c)
+            return (xs_c, merit_c), None
+
+        xs0 = jnp.tile(x0[None], (n_cand, 1))
+        merit0 = jnp.zeros((n_cand,), jnp.float32)
+        (_, merit_sums), _ = jax.lax.scan(
+            sweep_step,
+            (xs0, merit0),
+            (ks_all, last_op.xs, last_op.us,
+             lqsol.strategy.Ps, lqsol.strategy.alphas),
+        )
+        merits = 0.5 * merit_sums
 
         # Armijo condition per candidate (src/ilq_solver.cpp:350-362).
         ok = (c.last_merit - merits) >= (
@@ -209,9 +250,11 @@ def solve(
         passed = jnp.any(ok)
         idx = jnp.argmax(ok)  # first passing stepsize (largest alpha)
 
-        op_sel = jax.tree_util.tree_map(lambda a: a[idx], cand_ops)
         merit_sel = merits[idx]
         strategy_sel = lqsol.strategy.scale_alphas(scalings[idx])
+        # Re-roll the selected candidate once (cheaper than materializing
+        # every candidate's trajectory during the sweep).
+        op_sel = dyn_base.rollout(dyn, spec, x0, last_op, strategy_sel)
         # One full quadraticization at the accepted iterate (the reference
         # retains the one computed inside MeritFunction; same values).
         quad_sel = quadraticize(op_sel, c.extreme_ks)
@@ -236,7 +279,24 @@ def solve(
             failed=failed,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if record_history:
+        # Fixed-trip-count scan with post-convergence masking: identical
+        # per-iteration math, but every iterate is recorded (the reference
+        # SolverLog keeps the full history; utils/solver_log.h:58-140).
+        def scan_body(c, _):
+            active = cond(c)
+            c2 = body(c)
+            c_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), c2, c
+            )
+            rec = (c_new.op, c_new.strategy, c_new.last_merit,
+                   c_new.converged, c_new.failed, active)
+            return c_new, rec
+
+        final, history = jax.lax.scan(scan_body, init, None, length=max_iters)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
+        history = None
     totals, _ = pcost.total_costs(player_costs, spec, final.op)
     return ILQResult(
         op=final.op,
@@ -248,4 +308,5 @@ def solve(
         num_iterations=final.iteration,
         merit=final.last_merit,
         quad=final.quad,
+        history=history,
     )
