@@ -10,7 +10,7 @@ OUT="$HERE/build"
 EIGEN=/opt/venv/lib/python3.12/site-packages/tensorflow/include
 mkdir -p "$OUT/obj"
 
-CXXFLAGS=(-std=c++17 -O3 -march=native -DNDEBUG
+CXXFLAGS=(-std=c++17 -O3 -DNDEBUG
   -DILQGAMES_LOG_DIR='"/tmp/ilqgames_logs"'
   -I"$HERE/stubs" -I"$REF/include" -isystem "$EIGEN" -w)
 

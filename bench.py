@@ -60,7 +60,7 @@ def main():
     x0 += 0.1 * rng.randn(*x0.shape).astype(np.float32)
 
     mesh = pmesh.make_mesh()
-    solver = pmesh.make_batched_solver(problem, params, mesh)
+    solver = pmesh.make_batched_solver(problem, params, mesh, host_outer_loop=True)
     x0 = jax.device_put(
         jnp.asarray(x0),
         jax.sharding.NamedSharding(

@@ -1,30 +1,45 @@
 """Example problem registry (reference: 18 example classes under
-include/ilqgames/examples/, SURVEY.md §2.8). Each module exposes
-`make_problem(dt=None, num_time_steps=None) -> Problem`; this registry
-maps names (matching the reference exec binaries) to builders."""
+include/ilqgames/examples/, SURVEY.md §2.8). Each entry maps a name
+(matching the reference exec binaries) to "module:function"; functions
+have signature (dt=None, num_time_steps=None, **problem_kwargs) -> Problem."""
 
 from __future__ import annotations
 
 import importlib
-from typing import Callable, Dict
+from typing import Dict
 
-# name -> module path; modules are imported lazily so one bad example
-# doesn't break the package, and import cost stays proportional to use.
 _REGISTRY: Dict[str, str] = {
-    "three_player_intersection": "ilqgames_tpu.examples.three_player_intersection",
-    "three_player_flat_intersection": "ilqgames_tpu.examples.three_player_flat_intersection",
-    "two_player_collision": "ilqgames_tpu.examples.two_player_collision",
+    "three_player_intersection":
+        "ilqgames_tpu.examples.three_player_intersection:make_problem",
+    "three_player_flat_intersection":
+        "ilqgames_tpu.examples.three_player_flat_intersection:make_problem",
+    "two_player_collision":
+        "ilqgames_tpu.examples.two_player_collision:make_problem",
+    "air_3d": "ilqgames_tpu.examples.air_3d:make_problem",
+    "dubins_origin": "ilqgames_tpu.examples.dubins_origin:make_problem",
+    "one_player_reachability":
+        "ilqgames_tpu.examples.reachability:make_one_player",
+    "two_player_reachability":
+        "ilqgames_tpu.examples.reachability:make_two_player",
+    "three_player_collision_avoidance_reachability":
+        "ilqgames_tpu.examples.reachability:make_three_player_collision_avoidance",
+    "three_player_overtaking":
+        "ilqgames_tpu.examples.three_player_overtaking:make_problem",
+    "roundabout_merging":
+        "ilqgames_tpu.examples.roundabout_merging:make_problem",
+    "three_player_flat_overtaking":
+        "ilqgames_tpu.examples.three_player_flat_overtaking:make_problem",
 }
 
 
 def get(name: str):
-    """Build the named example problem with default discretization."""
+    """Return the named example's builder (lazily imported)."""
     if name not in _REGISTRY:
         raise KeyError(
             f"unknown example '{name}'; available: {sorted(_REGISTRY)}"
         )
-    module = importlib.import_module(_REGISTRY[name])
-    return module.make_problem
+    module, fn = _REGISTRY[name].split(":")
+    return getattr(importlib.import_module(module), fn)
 
 
 def names():

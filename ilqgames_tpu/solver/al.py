@@ -213,7 +213,7 @@ def solve(
 
     final = jax.lax.while_loop(cond, body, init)
 
-    # Final constraint-satisfaction check (…cpp:183-188).
+    # Final constraint-satisfaction check (...cpp:183-188).
     final_violation = max_constraint_violation(
         player_costs, spec, final.result_op
     )
@@ -229,3 +229,150 @@ def solve(
         cumulative_iterations=final.cum_iters,
         al_state=final.al,
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-stepped batched AL driver.
+# ---------------------------------------------------------------------------
+def _bwhere(mask, a, b):
+    """Per-instance select: mask [B] broadcast against leading batch axis."""
+    m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
+    return jnp.where(m, a, b)
+
+
+def _tree_bwhere(mask, ta, tb):
+    return jax.tree_util.tree_map(lambda a, b: _bwhere(mask, a, b), ta, tb)
+
+
+def make_host_batched_solver(dyn, player_costs, spec, params,
+                             warm_op=None, warm_strategy=None):
+    """Batched constrained solve with the AL OUTER loop on the host.
+
+    Identical semantics to vmap(solve) (masked per-instance updates freeze
+    finished instances), but each device program is ONE inner iLQ solve
+    instead of the whole nested while-in-while — measured ~4x faster per
+    iteration on TPU (nested batched while_loops lower poorly), and short
+    device programs avoid the TPU runtime's long-execution faults.
+
+    Returns fn(x0 [B, xdim]) -> batched ALResult.
+    """
+    constrained = pcost.is_constrained(player_costs)
+    if warm_op is None:
+        warm_op = OperatingPoint.zeros(spec)
+    if warm_strategy is None:
+        warm_strategy = Strategy.zeros(spec)
+
+    inner_budget = (
+        params.unconstrained_solver_max_iters
+        if constrained
+        else params.max_solver_iters
+    )
+
+    inner_b = jax.jit(jax.vmap(
+        lambda x0, al, op, st, lm: ilq.solve(
+            dyn, player_costs, spec, params, x0, op, st,
+            al_state=al, max_iterations=inner_budget, last_merit=lm,
+        )
+    ))
+
+    update_b = jax.jit(jax.vmap(
+        lambda al, op: constraint_violations(player_costs, spec, op, al)
+    ))
+
+    down_b = jax.jit(jax.vmap(
+        lambda al, failed: al.replace(
+            state_lambdas=tuple(
+                jnp.where(failed, l * params.geometric_lambda_downscaling, l)
+                for l in al.state_lambdas
+            ),
+            control_lambdas=tuple(
+                jnp.where(failed, l * params.geometric_lambda_downscaling, l)
+                for l in al.control_lambdas
+            ),
+            mu=jnp.where(failed, al.mu * params.geometric_mu_downscaling,
+                         al.mu),
+        )
+    ))
+
+    viol_b = jax.jit(jax.vmap(
+        lambda op: max_constraint_violation(player_costs, spec, op)
+    ))
+    totals_b = jax.jit(jax.vmap(
+        lambda op: pcost.total_costs(player_costs, spec, op)[0]
+    ))
+
+    def run(x0_batch):
+        B = x0_batch.shape[0]
+        tile = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), t
+        )
+        al_state = tile(pcost.ALState.init(player_costs, spec))
+        op_w = tile(warm_op)
+        st_w = tile(warm_strategy)
+        last_merit = jnp.full((B,), jnp.inf, jnp.float32)
+
+        first = inner_b(x0_batch, al_state, op_w, st_w, last_merit)
+        result_op, result_strategy = first.op, first.strategy
+        last_merit = first.merit
+        inner_ok = ~first.failed
+        success = inner_ok
+        cum_iters = first.num_iterations
+
+        if not constrained:
+            return ALResult(
+                op=result_op, strategy=result_strategy,
+                total_costs=first.total_costs,
+                converged=first.converged & ~first.failed,
+                max_violation=jnp.full((B,), -jnp.inf, jnp.float32),
+                cumulative_iterations=cum_iters, al_state=al_state,
+            )
+
+        violation = jnp.full((B,), jnp.inf, jnp.float32)
+        warm_op_b, warm_strategy_b = result_op, result_strategy
+        while True:
+            active = (cum_iters < params.max_solver_iters) & (
+                violation > params.constraint_error_tolerance
+            )
+            if not bool(jnp.any(active)):
+                break
+
+            new_al, violation_new = update_b(al_state, result_op)
+            new_al = new_al.replace(
+                mu=new_al.mu * params.geometric_mu_scaling
+            )
+            al_state = _tree_bwhere(active, new_al, al_state)
+            violation = jnp.where(active, violation_new, violation)
+
+            # Warm start from the latest result where the last inner solve
+            # succeeded (augmented_lagrangian_solver.cpp:151-154).
+            warm_op_b = _tree_bwhere(inner_ok, result_op, warm_op_b)
+            warm_strategy_b = _tree_bwhere(
+                inner_ok, result_strategy, warm_strategy_b
+            )
+
+            res = inner_b(x0_batch, al_state, warm_op_b, warm_strategy_b,
+                          last_merit)
+            # Freeze finished instances.
+            result_op = _tree_bwhere(active, res.op, result_op)
+            result_strategy = _tree_bwhere(
+                active, res.strategy, result_strategy
+            )
+            last_merit = jnp.where(active, res.merit, last_merit)
+            inner_ok = jnp.where(active, ~res.failed, inner_ok)
+            success = success & jnp.where(active, ~res.failed, True)
+            cum_iters = cum_iters + jnp.where(active, res.num_iterations, 0)
+
+            # Downscale multipliers for instances whose inner solve failed
+            # (...cpp:166-178).
+            al_state = down_b(al_state, active & res.failed)
+
+        fv = viol_b(result_op)
+        satisfied = fv <= params.constraint_error_tolerance
+        return ALResult(
+            op=result_op, strategy=result_strategy,
+            total_costs=totals_b(result_op),
+            converged=success & satisfied, max_violation=fv,
+            cumulative_iterations=cum_iters, al_state=al_state,
+        )
+
+    return run
