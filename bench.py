@@ -21,6 +21,14 @@ import os
 import time
 
 import jax
+
+# Persistent compilation cache: full-solve TPU compiles take minutes over
+# the axon tunnel; caching makes warmup cheap across bench invocations.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,7 +61,7 @@ def main():
     )
 
     n_chips = jax.device_count()
-    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_chips
+    batch = int(os.environ.get("BENCH_BATCH", "64")) * n_chips
     rng = np.random.RandomState(0)
     x0 = np.tile(np.asarray(problem.x0)[None], (batch, 1))
     # Perturb initial positions/speeds so instances are genuinely distinct.

@@ -29,6 +29,17 @@ _REGISTRY: Dict[str, str] = {
         "ilqgames_tpu.examples.roundabout_merging:make_problem",
     "three_player_flat_overtaking":
         "ilqgames_tpu.examples.three_player_flat_overtaking:make_problem",
+    "modified_three_player_intersection":
+        "ilqgames_tpu.examples.modified_intersection:make_problem",
+    "three_player_intersection_reachability":
+        "ilqgames_tpu.examples.modified_intersection:make_reachability",
+    "modified_air_3d":
+        "ilqgames_tpu.examples.more_reachability:make_modified_air_3d",
+    "two_player_collision_avoidance_reachability":
+        "ilqgames_tpu.examples.more_reachability:make_two_player_collision_avoidance",
+    "flat_roundabout_merging":
+        "ilqgames_tpu.examples.flat_roundabout_merging:make_problem",
+    "skeleton": "ilqgames_tpu.examples.skeleton:make_problem",
 }
 
 

@@ -426,3 +426,111 @@ def simulate(
         states.append(state.x)
         times.append(state.t)
     return jnp.stack(states), jnp.stack(times), state
+
+
+def simulate_minimally_invasive(
+    original: Problem,
+    safety: Problem,
+    params: SolverParams,
+    final_time: float = 10.0,
+    replan_interval: float = 0.25,
+    planner_time: float = 0.25,
+    safety_threshold: float = -1.0,
+    x0: Optional[jnp.ndarray] = None,
+    jit: bool = True,
+):
+    """Dual-solver safety-filtered receding horizon
+    (reference MinimallyInvasiveRecedingHorizonSimulator,
+    src/minimally_invasive_receding_horizon_simulator.cpp:68-218): each
+    cycle warm-starts and solves BOTH the original and the safety problem
+    from the shared spliced plan; the safety controller is spliced in when
+    P1's safety value exceeds `safety_threshold` (in meters for
+    reachability-style safety problems) or when only the safety solve
+    converged; otherwise the original controller is used.
+
+    Returns (states, times, active_flags [n_cycles] bool — True when the
+    safety controller was active, final SimState of the shared plan)."""
+    assert original.spec.xdim == safety.spec.xdim
+    spec = original.spec
+    dyn = original.dynamics
+    x0 = original.x0 if x0 is None else x0
+
+    first = original.solve(params, x0=x0, jit=jit)
+    splicer0 = Splicer.create(spec, first.op, first.strategy)
+
+    sspec = _splicer_spec(spec)
+    max_span_steps = int(replan_interval / spec.dt) + 2
+
+    def cycle(state: SimState):
+        t_next = state.t + replan_interval
+        x_next = integrate_span(
+            dyn, sspec, state.splicer.op, state.splicer.strategy,
+            state.t, t_next, state.x, max_span_steps,
+        )
+
+        N = spec.num_time_steps
+        warm_op = OperatingPoint(
+            xs=state.splicer.op.xs[:N], us=state.splicer.op.us[:N],
+            t0=state.splicer.op.t0,
+        )
+        warm_strategy = Strategy(
+            Ps=state.splicer.strategy.Ps[:N],
+            alphas=state.splicer.strategy.alphas[:N],
+        )
+        new_op, new_strategy, new_x0 = setup_next_receding_horizon(
+            dyn, spec, warm_op, warm_strategy, x_next, t_next, planner_time
+        )
+
+        res_orig = al_solver.solve(
+            original.dynamics, original.player_costs, spec, params,
+            new_x0, new_op, new_strategy,
+            pcost.ALState.init(original.player_costs, spec),
+        )
+        res_safe = al_solver.solve(
+            safety.dynamics, safety.player_costs, spec, params,
+            new_x0, new_op, new_strategy,
+            pcost.ALState.init(safety.player_costs, spec),
+        )
+
+        # Switch criterion (…cpp:201-214).
+        p1_safety_cost = res_safe.total_costs[0]
+        use_safety = (p1_safety_cost > safety_threshold) | (
+            res_safe.converged & ~res_orig.converged
+        )
+
+        spliced_orig = splice(spec, state.splicer, res_orig.op,
+                              res_orig.strategy)
+        spliced_safe = splice(spec, state.splicer, res_safe.op,
+                              res_safe.strategy)
+        pick = lambda a, b: jnp.where(use_safety, a, b)
+        spliced = jax.tree_util.tree_map(pick, spliced_safe, spliced_orig)
+        # Original only splices when converged; safety splices always
+        # (…cpp:206-213).
+        accept = use_safety | res_orig.converged
+        keep = lambda a, b: jnp.where(accept, a, b)
+        new_splicer = jax.tree_util.tree_map(keep, spliced, state.splicer)
+
+        return SimState(
+            x=x_next, t=t_next, splicer=new_splicer,
+            al_state=state.al_state,
+            converged=jnp.where(use_safety, res_safe.converged,
+                                res_orig.converged),
+            num_replans=state.num_replans + 1,
+        ), use_safety
+
+    cycle_fn = jax.jit(cycle) if jit else cycle
+
+    state = SimState(
+        x=jnp.asarray(x0), t=jnp.asarray(0.0, jnp.float32),
+        splicer=splicer0, al_state=original.initial_al_state(),
+        converged=first.converged, num_replans=jnp.asarray(0, jnp.int32),
+    )
+    n_cycles = int(final_time / replan_interval) - 1
+    states, times, flags = [state.x], [state.t], []
+    for _ in range(n_cycles):
+        state, used_safety = cycle_fn(state)
+        states.append(state.x)
+        times.append(state.t)
+        flags.append(used_safety)
+    return (jnp.stack(states), jnp.stack(times),
+            jnp.stack(flags) if flags else jnp.zeros((0,), bool), state)

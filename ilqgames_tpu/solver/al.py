@@ -249,10 +249,12 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
     """Batched constrained solve with the AL OUTER loop on the host.
 
     Identical semantics to vmap(solve) (masked per-instance updates freeze
-    finished instances), but each device program is ONE inner iLQ solve
-    instead of the whole nested while-in-while — measured ~4x faster per
-    iteration on TPU (nested batched while_loops lower poorly), and short
-    device programs avoid the TPU runtime's long-execution faults.
+    finished instances), but each device program is ONE AL round (multiplier
+    update + inner iLQ solve + merges) instead of the whole nested
+    while-in-while — measured ~4x faster per iteration on TPU (nested
+    batched while_loops lower poorly), and short device programs avoid the
+    TPU runtime's long-execution faults. The host only reads a single
+    "any instance still active" scalar per round.
 
     Returns fn(x0 [B, xdim]) -> batched ALResult.
     """
@@ -275,24 +277,69 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
         )
     ))
 
-    update_b = jax.jit(jax.vmap(
-        lambda al, op: constraint_violations(player_costs, spec, op, al)
-    ))
+    def _round(x0, state):
+        """One full AL outer round, batched + masked (one device program)."""
+        (al_state, warm_op_b, warm_st_b, result_op, result_st,
+         last_merit, inner_ok, success, cum_iters, violation) = state
 
-    down_b = jax.jit(jax.vmap(
-        lambda al, failed: al.replace(
-            state_lambdas=tuple(
-                jnp.where(failed, l * params.geometric_lambda_downscaling, l)
-                for l in al.state_lambdas
-            ),
-            control_lambdas=tuple(
-                jnp.where(failed, l * params.geometric_lambda_downscaling, l)
-                for l in al.control_lambdas
-            ),
-            mu=jnp.where(failed, al.mu * params.geometric_mu_downscaling,
-                         al.mu),
+        active = (cum_iters < params.max_solver_iters) & (
+            violation > params.constraint_error_tolerance
         )
-    ))
+
+        def upd(al, op):
+            new_al, v = constraint_violations(player_costs, spec, op, al)
+            return new_al.replace(
+                mu=new_al.mu * params.geometric_mu_scaling
+            ), v
+
+        new_al, violation_new = jax.vmap(upd)(al_state, result_op)
+        al_state = _tree_bwhere(active, new_al, al_state)
+        violation = jnp.where(active, violation_new, violation)
+
+        warm_op_b = _tree_bwhere(inner_ok, result_op, warm_op_b)
+        warm_st_b = _tree_bwhere(inner_ok, result_st, warm_st_b)
+
+        res = jax.vmap(
+            lambda x, a, o, st, lm: ilq.solve(
+                dyn, player_costs, spec, params, x, o, st,
+                al_state=a, max_iterations=inner_budget, last_merit=lm,
+            )
+        )(x0, al_state, warm_op_b, warm_st_b, last_merit)
+
+        result_op = _tree_bwhere(active, res.op, result_op)
+        result_st = _tree_bwhere(active, res.strategy, result_st)
+        last_merit = jnp.where(active, res.merit, last_merit)
+        inner_ok = jnp.where(active, ~res.failed, inner_ok)
+        success = success & jnp.where(active, ~res.failed, True)
+        cum_iters = cum_iters + jnp.where(active, res.num_iterations, 0)
+
+        # Downscale multipliers for failed inner solves (...cpp:166-178).
+        failed = active & res.failed
+
+        def down(al, f):
+            return al.replace(
+                state_lambdas=tuple(
+                    jnp.where(f, l * params.geometric_lambda_downscaling, l)
+                    for l in al.state_lambdas
+                ),
+                control_lambdas=tuple(
+                    jnp.where(f, l * params.geometric_lambda_downscaling, l)
+                    for l in al.control_lambdas
+                ),
+                mu=jnp.where(f, al.mu * params.geometric_mu_downscaling,
+                             al.mu),
+            )
+
+        al_state = jax.vmap(down)(al_state, failed)
+
+        new_state = (al_state, warm_op_b, warm_st_b, result_op, result_st,
+                     last_merit, inner_ok, success, cum_iters, violation)
+        next_active = (cum_iters < params.max_solver_iters) & (
+            violation > params.constraint_error_tolerance
+        )
+        return new_state, jnp.any(next_active)
+
+    round_b = jax.jit(_round)
 
     viol_b = jax.jit(jax.vmap(
         lambda op: max_constraint_violation(player_costs, spec, op)
@@ -312,64 +359,31 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
         last_merit = jnp.full((B,), jnp.inf, jnp.float32)
 
         first = inner_b(x0_batch, al_state, op_w, st_w, last_merit)
-        result_op, result_strategy = first.op, first.strategy
-        last_merit = first.merit
-        inner_ok = ~first.failed
-        success = inner_ok
-        cum_iters = first.num_iterations
 
         if not constrained:
             return ALResult(
-                op=result_op, strategy=result_strategy,
+                op=first.op, strategy=first.strategy,
                 total_costs=first.total_costs,
                 converged=first.converged & ~first.failed,
                 max_violation=jnp.full((B,), -jnp.inf, jnp.float32),
-                cumulative_iterations=cum_iters, al_state=al_state,
+                cumulative_iterations=first.num_iterations, al_state=al_state,
             )
 
-        violation = jnp.full((B,), jnp.inf, jnp.float32)
-        warm_op_b, warm_strategy_b = result_op, result_strategy
-        while True:
-            active = (cum_iters < params.max_solver_iters) & (
-                violation > params.constraint_error_tolerance
-            )
-            if not bool(jnp.any(active)):
-                break
+        state = (
+            al_state, first.op, first.strategy, first.op, first.strategy,
+            first.merit, ~first.failed, ~first.failed,
+            first.num_iterations, jnp.full((B,), jnp.inf, jnp.float32),
+        )
+        any_active = jnp.asarray(True)
+        while bool(any_active):
+            state, any_active = round_b(x0_batch, state)
 
-            new_al, violation_new = update_b(al_state, result_op)
-            new_al = new_al.replace(
-                mu=new_al.mu * params.geometric_mu_scaling
-            )
-            al_state = _tree_bwhere(active, new_al, al_state)
-            violation = jnp.where(active, violation_new, violation)
-
-            # Warm start from the latest result where the last inner solve
-            # succeeded (augmented_lagrangian_solver.cpp:151-154).
-            warm_op_b = _tree_bwhere(inner_ok, result_op, warm_op_b)
-            warm_strategy_b = _tree_bwhere(
-                inner_ok, result_strategy, warm_strategy_b
-            )
-
-            res = inner_b(x0_batch, al_state, warm_op_b, warm_strategy_b,
-                          last_merit)
-            # Freeze finished instances.
-            result_op = _tree_bwhere(active, res.op, result_op)
-            result_strategy = _tree_bwhere(
-                active, res.strategy, result_strategy
-            )
-            last_merit = jnp.where(active, res.merit, last_merit)
-            inner_ok = jnp.where(active, ~res.failed, inner_ok)
-            success = success & jnp.where(active, ~res.failed, True)
-            cum_iters = cum_iters + jnp.where(active, res.num_iterations, 0)
-
-            # Downscale multipliers for instances whose inner solve failed
-            # (...cpp:166-178).
-            al_state = down_b(al_state, active & res.failed)
-
+        (al_state, _, _, result_op, result_st,
+         last_merit, inner_ok, success, cum_iters, violation) = state
         fv = viol_b(result_op)
         satisfied = fv <= params.constraint_error_tolerance
         return ALResult(
-            op=result_op, strategy=result_strategy,
+            op=result_op, strategy=result_st,
             total_costs=totals_b(result_op),
             converged=success & satisfied, max_violation=fv,
             cumulative_iterations=cum_iters, al_state=al_state,
