@@ -534,3 +534,89 @@ def simulate_minimally_invasive(
         flags.append(used_safety)
     return (jnp.stack(states), jnp.stack(times),
             jnp.stack(flags) if flags else jnp.zeros((0,), bool), state)
+
+
+def simulate_batched(
+    problem: Problem,
+    params: SolverParams,
+    x0_batch: jnp.ndarray,
+    final_time: float = 10.0,
+    replan_interval: float = 0.25,
+    planner_time: float = 0.25,
+):
+    """Batched receding-horizon simulation: B independent agents (varying
+    initial states) replan in lockstep, each cycle one jitted vmapped step
+    (BASELINE config 5: 1k-initial-state receding-horizon reachability).
+
+    Returns (states [n_cycles+1, B, xdim], times [n_cycles+1], SimState
+    with batched leaves)."""
+    spec = problem.spec
+    dyn = problem.dynamics
+    B = x0_batch.shape[0]
+
+    solve_b = jax.jit(jax.vmap(
+        lambda x: al_solver.solve(
+            dyn, problem.player_costs, spec, params, x,
+            problem.initial_operating_point(), problem.initial_strategy(),
+            problem.initial_al_state(),
+        )
+    ))
+    first = solve_b(x0_batch)
+    splicer0 = jax.vmap(lambda op, st: Splicer.create(spec, op, st))(
+        first.op, first.strategy
+    )
+
+    sspec = _splicer_spec(spec)
+    max_span_steps = int(replan_interval / spec.dt) + 2
+
+    def cycle(state: SimState):
+        t_next = state.t + replan_interval
+        x_next = integrate_span(
+            dyn, sspec, state.splicer.op, state.splicer.strategy,
+            state.t, t_next, state.x, max_span_steps,
+        )
+        N = spec.num_time_steps
+        warm_op = OperatingPoint(
+            xs=state.splicer.op.xs[:N], us=state.splicer.op.us[:N],
+            t0=state.splicer.op.t0,
+        )
+        warm_strategy = Strategy(
+            Ps=state.splicer.strategy.Ps[:N],
+            alphas=state.splicer.strategy.alphas[:N],
+        )
+        new_op, new_strategy, new_x0 = setup_next_receding_horizon(
+            dyn, spec, warm_op, warm_strategy, x_next, t_next, planner_time
+        )
+        res = al_solver.solve(
+            dyn, problem.player_costs, spec, params,
+            new_x0, new_op, new_strategy, state.al_state,
+        )
+        spliced = splice(spec, state.splicer, res.op, res.strategy)
+        keep = lambda a, b: jnp.where(res.converged, a, b)
+        new_splicer = jax.tree_util.tree_map(keep, spliced, state.splicer)
+        return SimState(
+            x=x_next, t=t_next, splicer=new_splicer,
+            al_state=state.al_state, converged=res.converged,
+            num_replans=state.num_replans + 1,
+        )
+
+    cycle_b = jax.jit(jax.vmap(cycle))
+
+    tile = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), t
+    )
+    state = SimState(
+        x=jnp.asarray(x0_batch),
+        t=jnp.zeros((B,), jnp.float32),
+        splicer=splicer0,
+        al_state=tile(problem.initial_al_state()),
+        converged=first.converged,
+        num_replans=jnp.zeros((B,), jnp.int32),
+    )
+    n_cycles = int(final_time / replan_interval) - 1
+    states, times = [state.x], [jnp.float32(0.0)]
+    for c in range(n_cycles):
+        state = cycle_b(state)
+        states.append(state.x)
+        times.append(jnp.float32((c + 1) * replan_interval))
+    return jnp.stack(states), jnp.stack(times), state
