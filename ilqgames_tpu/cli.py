@@ -44,6 +44,12 @@ def build_parser():
     p.add_argument("--batch", type=int, default=0,
                    help="solve a batch of perturbed instances in parallel")
     p.add_argument("--num_time_steps", type=int, default=None)
+    # Receding-horizon mode (reference exec/receding_horizon_example).
+    p.add_argument("--receding_horizon", action="store_true",
+                   help="run the fixed-cadence receding-horizon simulator")
+    p.add_argument("--final_time", type=float, default=10.0)
+    p.add_argument("--replan_interval", type=float, default=0.25)
+    p.add_argument("--planner_runtime", type=float, default=0.25)
     return p
 
 
@@ -92,6 +98,22 @@ def main(argv=None):
             "num_converged": int(np.asarray(res.converged).sum()),
             "max_violation": float(np.asarray(res.max_violation).max()),
         }))
+        return 0
+
+    if args.receding_horizon:
+        from ilqgames_tpu.runtime import receding_horizon as rh
+
+        t0 = time.perf_counter()
+        xs, ts, state = rh.simulate(
+            problem, params, final_time=args.final_time,
+            replan_interval=args.replan_interval,
+            planner_time=args.planner_runtime,
+        )
+        jax.block_until_ready(xs)
+        print(f"Simulated {float(ts[-1]):.2f} s of sim time "
+              f"({int(state.num_replans)} replans) in "
+              f"{time.perf_counter() - t0:.2f} s wall.")
+        print("Final state:", np.asarray(xs[-1]))
         return 0
 
     t0 = time.perf_counter()

@@ -40,6 +40,8 @@ _REGISTRY: Dict[str, str] = {
     "flat_roundabout_merging":
         "ilqgames_tpu.examples.flat_roundabout_merging:make_problem",
     "skeleton": "ilqgames_tpu.examples.skeleton:make_problem",
+    "two_player_point_mass":
+        "ilqgames_tpu.examples.two_player_point_mass:make_problem",
 }
 
 

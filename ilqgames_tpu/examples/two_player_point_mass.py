@@ -1,0 +1,56 @@
+"""Two-player 1D point-mass LQ game — BASELINE config 1 and the reference
+prototype's canonical test problem (python/test_two_player_point_mass.py:36-94,
+test/test_lq_solver.cpp:146-248): double-integrator state contested by two
+players with asymmetric control authority and coupled quadratic costs. The
+game is exactly LQ, so one iLQ iteration reaches the Nash equilibrium; the
+LQ kernel's output is cross-validated against Lyapunov iterations in
+tests/test_lq_solver.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ilqgames_tpu.costs import atoms
+from ilqgames_tpu.costs.player_cost import PlayerCost
+from ilqgames_tpu.dynamics.base import MultiPlayerDynamics
+from ilqgames_tpu.problem import Problem
+
+A_CONT = np.array([[0.0, 1.0], [0.0, 0.0]], np.float32)
+B1 = np.array([0.05, 1.0], np.float32)
+B2 = np.array([0.032, 0.11], np.float32)
+COST_SCALE = 0.1
+
+
+def make_problem(dt=None, num_time_steps=None, x0=(1.0, 0.0)) -> Problem:
+    b1 = jnp.asarray(B1)
+    b2 = jnp.asarray(B2)
+    a = jnp.asarray(A_CONT)
+
+    def ode(t, x, us):
+        return a @ x + b1 * us[0, 0] + b2 * us[1, 0]
+
+    dyn = MultiPlayerDynamics(
+        name="two_player_point_mass", xdims=(2, 0), udims=(1, 1), ode=ode,
+    )
+    spec = dyn.spec(dt=dt, num_time_steps=num_time_steps)
+
+    pc1 = PlayerCost(
+        state_costs=(atoms.quadratic(1.0, None, 0.0, "State"),),
+        control_costs=(
+            (0, atoms.quadratic(1.0, None, 0.0, "OwnControl")),
+            (1, atoms.quadratic(COST_SCALE, None, 0.0, "OtherControl")),
+        ),
+    )
+    pc2 = PlayerCost(
+        state_costs=(atoms.quadratic(COST_SCALE, None, 0.0, "State"),),
+        control_costs=(
+            (0, atoms.quadratic(COST_SCALE, None, 0.0, "OtherControl")),
+            (1, atoms.quadratic(1.0, None, 0.0, "OwnControl")),
+        ),
+    )
+    return Problem(
+        name="two_player_point_mass", dynamics=dyn,
+        player_costs=(pc1, pc2),
+        x0=jnp.asarray(np.asarray(x0, np.float32)), spec=spec,
+    )

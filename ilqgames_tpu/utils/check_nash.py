@@ -121,17 +121,51 @@ def numerical_check_local_nash(
     return jnp.all(improvement <= 0.0)
 
 
+def change_cost_coordinates(dyn, quad_Q, quad_l, xis):
+    """Transform state Hessians/gradients from linearizing coordinates xi
+    to the nonlinear state x via the chain rule (reference
+    ConcatenatedFlatSystem::ChangeCostCoordinates,
+    src/concatenated_flat_system.cpp:246-330, whose hand-coded Partial()
+    tables are replaced by autodiff through to_linear_state):
+
+        H_x = J^T H_xi J + sum_i g_xi[i] * Hess_x(to_linear_i)
+        g_x = J^T g_xi,      with J = d to_linear / dx at x = from_linear(xi).
+    """
+
+    def one(Q, l, xi):
+        x = dyn.from_linear_state(xi)
+        J = jax.jacfwd(dyn.to_linear_state)(x)  # [xi_dim, x_dim]
+        H2 = jax.hessian(dyn.to_linear_state)(x)  # [xi_dim, x_dim, x_dim]
+        Q_x = J.T @ Q @ J + jnp.einsum("i,ixy->xy", l, H2)
+        l_x = J.T @ l
+        return Q_x, l_x
+
+    # Q [N,P,x,x], l [N,P,x]: vmap over time, then players.
+    return jax.vmap(
+        lambda Qk, lk, xik: jax.vmap(lambda Qi, li: one(Qi, li, xik))(Qk, lk)
+    )(quad_Q, quad_l, xis)
+
+
 def check_sufficient_local_nash(
     player_costs, spec: GameSpec, op: OperatingPoint,
-    al: pcost.ALState = None, error_margin: float = 1e-4
+    al: pcost.ALState = None, error_margin: float = 1e-4,
+    dyn=None,
 ) -> jnp.ndarray:
-    """PSD check of all state/control Hessians along the trajectory."""
+    """PSD check of all state/control Hessians along the trajectory
+    (reference CheckSufficientLocalNashEquilibrium,
+    src/check_local_nash_equilibrium.cpp:144-200). For flat systems pass
+    `dyn` so state Hessians are transformed back to nonlinear coordinates
+    before the eigenvalue check, as the reference does."""
     if al is None:
         al = pcost.ALState.init(player_costs, spec)
     _, extreme_ks = pcost.total_costs(player_costs, spec, op)
     quad = pcost.quadraticize(player_costs, spec, op, al, extreme_ks)
 
-    min_q = jnp.min(jnp.linalg.eigvalsh(quad.Q))
+    Q = quad.Q
+    if dyn is not None and getattr(dyn, "treat_as_linear", False)             and dyn.from_linear_state is not None:
+        Q, _ = change_cost_coordinates(dyn, quad.Q, quad.l, op.xs)
+
+    min_q = jnp.min(jnp.linalg.eigvalsh(Q))
     # Control Hessians: only (i, j) pairs with actual costs matter; absent
     # pairs are zero matrices whose eigenvalues are 0 (>= -margin), harmless.
     min_r = jnp.min(jnp.linalg.eigvalsh(quad.R))
