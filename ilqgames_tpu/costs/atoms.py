@@ -45,12 +45,14 @@ def quadratic(weight: float, dim: Optional[int], nominal: float = 0.0,
         def evaluate(t, v):
             d = v - nominal
             return 0.5 * weight * jnp.sum(d * d)
-    else:
-        def evaluate(t, v):
-            d = v[dim] - nominal
-            return 0.5 * weight * d * d
 
-    return Cost(name, evaluate)
+        return Cost(name, evaluate)
+
+    def evaluate(t, v):
+        d = v[dim] - nominal
+        return 0.5 * weight * d * d
+
+    return Cost(name, evaluate, support=(dim,))
 
 
 def semiquadratic(weight: float, dim: int, threshold: float,
@@ -62,7 +64,7 @@ def semiquadratic(weight: float, dim: int, threshold: float,
         active = (diff > 0.0) if oriented_right else (diff < 0.0)
         return jnp.where(active, 0.5 * weight * diff * diff, 0.0)
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(dim,))
 
 
 def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,
@@ -73,7 +75,7 @@ def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,
         diff = _safe_hypot(v[dim1], v[dim2]) - nominal
         return 0.5 * weight * diff * diff
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(dim1, dim2))
 
 
 def semiquadratic_norm(weight: float, dim1: int, dim2: int, threshold: float,
@@ -119,7 +121,7 @@ def quadratic_difference(weight: float, dims1: Sequence[int],
             total = total + diff * diff
         return 0.5 * weight * total
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=tuple(d1) + tuple(d2))
 
 
 def relative_distance(weight: float, dims1: Tuple[int, int],
@@ -131,7 +133,7 @@ def relative_distance(weight: float, dims1: Tuple[int, int],
         return weight * _safe_hypot(v[dims1[0]] - v[dims2[0]],
                                     v[dims1[1]] - v[dims2[1]])
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2))
 
 
 def signed_distance(dims1: Tuple[int, int], dims2: Tuple[int, int],
@@ -145,7 +147,7 @@ def signed_distance(dims1: Tuple[int, int], dims2: Tuple[int, int],
         d = _safe_hypot(v[dims1[0]] - v[dims2[0]], v[dims1[1]] - v[dims2[1]])
         return s * (nominal - d)
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2))
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +167,7 @@ def proximity(weight: float, dims1: Tuple[int, int], dims2: Tuple[int, int],
         return jnp.where(delta_sq >= threshold_sq, 0.0,
                          0.5 * weight * gap * gap)
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2))
 
 
 def locally_convex_proximity(weight: float, dims1: Tuple[int, int],
@@ -468,7 +470,7 @@ def route_progress(weight: float, points: jnp.ndarray, xidx: int, yidx: int,
         dy = v[yidx] - desired[1]
         return 0.5 * weight * (dx * dx + dy * dy)
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(xidx, yidx))
 
 
 # ---------------------------------------------------------------------------
@@ -482,7 +484,7 @@ def nominal_path_length(weight: float, dim: int, nominal_speed: float,
         delta = v[dim] - t * nominal_speed
         return 0.5 * weight * delta * delta
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(dim,))
 
 
 def curvature(weight: float, omega_idx: int, v_idx: int,
@@ -493,7 +495,7 @@ def curvature(weight: float, omega_idx: int, v_idx: int,
         c = v[omega_idx] / v[v_idx]
         return 0.5 * weight * c * c
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(omega_idx, v_idx))
 
 
 def orientation(weight: float, dim: int, nominal: float,
@@ -505,7 +507,7 @@ def orientation(weight: float, dim: int, nominal: float,
         angle_diff = jnp.fmod(v[dim] - nominal + jnp.pi, 2.0 * jnp.pi) - jnp.pi
         return 0.5 * weight * angle_diff * angle_diff
 
-    return Cost(name, evaluate)
+    return Cost(name, evaluate, support=(dim,))
 
 
 # ---------------------------------------------------------------------------

@@ -33,15 +33,48 @@ class Cost:
 
     evaluate: (t_rel, v) -> scalar. t_rel is time since the plan start.
     quad_fn:  optional (t_rel, v) -> (hess [d,d], grad [d]) override.
+    support:  optional tuple of input indices the cost actually reads.
+              When set, autodiff gradients/Hessians are computed over the
+              |support|-dimensional restriction and scattered back — a
+              large saving on TPU, where most costs touch 1-4 dims of a
+              ~16-dim state (each Hessian column is a JVP pass).
     """
 
     name: str
     evaluate: Callable
     quad_fn: Optional[Callable] = None
+    support: Optional[Tuple[int, ...]] = None
+
+    def _restricted(self, t, v):
+        idx = jnp.asarray(self.support)
+
+        def f(sub):
+            return self.evaluate(t, v.at[idx].set(sub))
+
+        return f, v[idx]
+
+    def gradient(self, t, v):
+        """Gradient alone (no Hessian work) — the merit path's primitive."""
+        if self.quad_fn is not None:
+            return self.quad_fn(t, v)[1]
+        if self.support is not None:
+            f, sub = self._restricted(t, v)
+            g = jax.grad(f)(sub)
+            return jnp.zeros_like(v).at[jnp.asarray(self.support)].set(g)
+        return jax.grad(self.evaluate, argnums=1)(t, v)
 
     def quadraticize(self, t, v):
         if self.quad_fn is not None:
             return self.quad_fn(t, v)
+        if self.support is not None:
+            f, sub = self._restricted(t, v)
+            idx = jnp.asarray(self.support)
+            g = jax.grad(f)(sub)
+            h = jax.hessian(f)(sub)
+            d = v.shape[0]
+            grad = jnp.zeros((d,), v.dtype).at[idx].set(g)
+            hess = jnp.zeros((d, d), v.dtype).at[jnp.ix_(idx, idx)].set(h)
+            return hess, grad
         grad = jax.grad(self.evaluate, argnums=1)(t, v)
         hess = jax.hessian(self.evaluate, argnums=1)(t, v)
         return hess, grad
@@ -60,6 +93,7 @@ class Constraint:
     g: Callable
     is_equality: bool = False
     quad_fn: Optional[Callable] = None
+    support: Optional[Tuple[int, ...]] = None
 
     def effective_mu(self, g_val, lam, mu):
         """mu switches off for satisfied inactive inequalities
@@ -75,6 +109,24 @@ class Constraint:
         mu_eff = self.effective_mu(jax.lax.stop_gradient(g_val), lam, mu)
         return lam * g_val + 0.5 * mu_eff * g_val * g_val
 
+    def _restricted_al(self, t, v, lam, mu):
+        idx = jnp.asarray(self.support)
+
+        def f(sub):
+            return self.evaluate_al(t, v.at[idx].set(sub), lam, mu)
+
+        return f, v[idx]
+
+    def gradient_al(self, t, v, lam, mu):
+        """AL-term gradient alone (merit path)."""
+        if self.quad_fn is not None:
+            return self.quad_fn(t, v, lam, mu)[1]
+        if self.support is not None:
+            f, sub = self._restricted_al(t, v, lam, mu)
+            g = jax.grad(f)(sub)
+            return jnp.zeros_like(v).at[jnp.asarray(self.support)].set(g)
+        return jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
+
     def quadraticize_al(self, t, v, lam, mu):
         """Gradient/Hessian of the AL term. Autodiff of evaluate_al yields
         exactly the reference's ModifyDerivatives algebra
@@ -83,6 +135,15 @@ class Constraint:
           dd = lam*ddg + mu_eff*(dg dg^T + g*ddg)."""
         if self.quad_fn is not None:
             return self.quad_fn(t, v, lam, mu)
+        if self.support is not None:
+            f, sub = self._restricted_al(t, v, lam, mu)
+            idx = jnp.asarray(self.support)
+            g = jax.grad(f)(sub)
+            h = jax.hessian(f)(sub)
+            d = v.shape[0]
+            grad = jnp.zeros((d,), v.dtype).at[idx].set(g)
+            hess = jnp.zeros((d, d), v.dtype).at[jnp.ix_(idx, idx)].set(h)
+            return hess, grad
         grad = jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
         hess = jax.hessian(self.evaluate_al, argnums=1)(t, v, lam, mu)
         return hess, grad

@@ -29,7 +29,7 @@ def single_dimension(dim: int, threshold: float, keep_below: bool,
     def g(t, v):
         return v[dim] - threshold if keep_below else threshold - v[dim]
 
-    return Constraint(name, g, is_equality=False)
+    return Constraint(name, g, is_equality=False, support=(dim,))
 
 
 def affine_scalar(a, b: float, is_equality: bool,
@@ -87,7 +87,8 @@ def proximity(dims1: Tuple[int, int], dims2: Tuple[int, int], threshold: float,
         prox = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, _EPS))
         return s * (prox - threshold)
 
-    return Constraint(name, g, is_equality=False)
+    return Constraint(name, g, is_equality=False,
+                      support=tuple(dims1) + tuple(dims2))
 
 
 def polyline2_signed_distance(points, xidx: int, yidx: int, threshold: float,

@@ -135,38 +135,20 @@ def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
     for i, pc in enumerate(player_costs):
         grad = jnp.zeros((xd,), jnp.float32)
         for c in pc.state_costs:
-            if c.quad_fn is not None:
-                _, g = c.quad_fn(t, x)
-            else:
-                g = jax.grad(c.evaluate, argnums=1)(t, x)
-            grad = grad + g
+            grad = grad + c.gradient(t, x)
         for ci, con in enumerate(pc.state_constraints):
             lam = al.state_lambdas[i][ci, k]
-            if con.quad_fn is not None:
-                _, g = con.quad_fn(t, x, lam, al.mu)
-            else:
-                g = jax.grad(con.evaluate_al, argnums=1)(t, x, lam, al.mu)
-            grad = grad + g
+            grad = grad + con.gradient_al(t, x, lam, al.mu)
         ls.append(grad)
 
         ug = jnp.zeros((um,), jnp.float32)
         for jj, c in pc.control_costs:
-            if jj != i:
-                continue
-            if c.quad_fn is not None:
-                _, g = c.quad_fn(t, us[i])
-            else:
-                g = jax.grad(c.evaluate, argnums=1)(t, us[i])
-            ug = ug + g
+            if jj == i:
+                ug = ug + c.gradient(t, us[i])
         for ci, (jj, con) in enumerate(pc.control_constraints):
-            if jj != i:
-                continue
-            lam = al.control_lambdas[i][ci, k]
-            if con.quad_fn is not None:
-                _, g = con.quad_fn(t, us[i], lam, al.mu)
-            else:
-                g = jax.grad(con.evaluate_al, argnums=1)(t, us[i], lam, al.mu)
-            ug = ug + g
+            if jj == i:
+                lam = al.control_lambdas[i][ci, k]
+                ug = ug + con.gradient_al(t, us[i], lam, al.mu)
         rs.append(ug)
 
     return jnp.stack(ls), jnp.stack(rs)

@@ -195,10 +195,14 @@ def solve(
             ** jnp.arange(n_cand, dtype=jnp.float32)
         )
 
-        # Fused sweep: ONE scan over time advances all candidates' rollouts
-        # together and accumulates each candidate's merit from per-stage
-        # gradients in the carry — no per-candidate trajectory or gradient
-        # arrays are materialized.
+        # Fused sweep in TRANCHES: candidates are evaluated `chunk` at a
+        # time (one scan over time advances all candidates in the tranche
+        # and accumulates gradient-only merits in the carry); tranches stop
+        # as soon as one contains an Armijo pass. Typical iterations accept
+        # in the first tranche, so the compute matches the reference's lazy
+        # sequential search while keeping its sequential depth ~chunk x
+        # smaller. Worst case degrades to ceil(n_cand/chunk) sequential
+        # sweeps — the reference's n_cand rollouts, chunked.
         u_mask = spec.u_mask()
         extreme_gate = jnp.ones((spec.num_time_steps, spec.num_players),
                                 jnp.float32)
@@ -209,49 +213,77 @@ def solve(
                     (ks_all == c.extreme_ks[_i]).astype(jnp.float32)
                 )
 
-        def sweep_step(carry, inputs):
-            xs_c, merit_c = carry  # [C, xdim], [C]
-            k, x_ref, u_ref, P_ref, alpha = inputs
-
-            def one(x_k, s, m):
-                delta = x_k - x_ref
-                us = (
-                    u_ref
-                    - jnp.einsum("pux,x->pu", P_ref, delta)
-                    - s * alpha
-                ) * u_mask
-                t = last_op.t0 + k.astype(jnp.float32) * spec.dt
-                l_k, r_k = pcost.stage_gradients(
-                    player_costs, spec, al_state, k, t, x_k, us
-                )
-                l_k = l_k * extreme_gate[k][:, None]
-                state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
-                m_new = m + jnp.sum(r_k * r_k) + state_term
-                x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
-                return x_next, m_new
-
-            xs_c, merit_c = jax.vmap(one)(xs_c, scalings, merit_c)
-            return (xs_c, merit_c), None
-
-        xs0 = jnp.tile(x0[None], (n_cand, 1))
-        merit0 = jnp.zeros((n_cand,), jnp.float32)
-        (_, merit_sums), _ = jax.lax.scan(
-            sweep_step,
-            (xs0, merit0),
-            (ks_all, last_op.xs, last_op.us,
-             lqsol.strategy.Ps, lqsol.strategy.alphas),
+        chunk = min(params.linesearch_chunk, n_cand)
+        n_tranche = -(-n_cand // chunk)  # ceil
+        # Pad the ladder so every tranche has `chunk` entries; padding
+        # repeats the smallest stepsize (harmless: selection is first-wins
+        # over the REAL indices only, via validity masking).
+        pad = n_tranche * chunk - n_cand
+        scal_pad = jnp.concatenate(
+            [scalings, jnp.full((pad,), scalings[-1], jnp.float32)]
+        ).reshape(n_tranche, chunk)
+        valid = (jnp.arange(n_tranche * chunk) < n_cand).reshape(
+            n_tranche, chunk
         )
-        merits = 0.5 * merit_sums
 
-        # Armijo condition per candidate (src/ilq_solver.cpp:350-362).
-        ok = (c.last_merit - merits) >= (
-            params.expected_decrease_fraction * scalings * expected_decrease
+        def tranche_merits(scals):
+            def sweep_step(carry, inputs):
+                xs_c, merit_c = carry  # [chunk, xdim], [chunk]
+                k, x_ref, u_ref, P_ref, alpha = inputs
+
+                def one(x_k, s, m):
+                    delta = x_k - x_ref
+                    us = (
+                        u_ref
+                        - jnp.einsum("pux,x->pu", P_ref, delta)
+                        - s * alpha
+                    ) * u_mask
+                    t = last_op.t0 + k.astype(jnp.float32) * spec.dt
+                    l_k, r_k = pcost.stage_gradients(
+                        player_costs, spec, al_state, k, t, x_k, us
+                    )
+                    l_k = l_k * extreme_gate[k][:, None]
+                    state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
+                    m_new = m + jnp.sum(r_k * r_k) + state_term
+                    x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
+                    return x_next, m_new
+
+                xs_c, merit_c = jax.vmap(one)(xs_c, scals, merit_c)
+                return (xs_c, merit_c), None
+
+            xs0 = jnp.tile(x0[None], (chunk, 1))
+            merit0 = jnp.zeros((chunk,), jnp.float32)
+            (_, merit_sums), _ = jax.lax.scan(
+                sweep_step,
+                (xs0, merit0),
+                (ks_all, last_op.xs, last_op.us,
+                 lqsol.strategy.Ps, lqsol.strategy.alphas),
+            )
+            return 0.5 * merit_sums
+
+        def tr_cond(tc):
+            t_idx, found, _, _ = tc
+            return (t_idx < n_tranche) & ~found
+
+        def tr_body(tc):
+            t_idx, _, _, _ = tc
+            scals = scal_pad[t_idx]
+            merits_t = tranche_merits(scals)
+            # Armijo per candidate (src/ilq_solver.cpp:350-362).
+            ok = ((c.last_merit - merits_t)
+                  >= params.expected_decrease_fraction * scals
+                  * expected_decrease) & valid[t_idx]
+            found = jnp.any(ok)
+            local = jnp.argmax(ok)  # first pass within the tranche
+            return (t_idx + 1, found, scals[local], merits_t[local])
+
+        _, passed, scal_sel, merit_sel = jax.lax.while_loop(
+            tr_cond, tr_body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             scalings[0], c.last_merit),
         )
-        passed = jnp.any(ok)
-        idx = jnp.argmax(ok)  # first passing stepsize (largest alpha)
 
-        merit_sel = merits[idx]
-        strategy_sel = lqsol.strategy.scale_alphas(scalings[idx])
+        strategy_sel = lqsol.strategy.scale_alphas(scal_sel)
         # Re-roll the selected candidate once (cheaper than materializing
         # every candidate's trajectory during the sweep).
         op_sel = dyn_base.rollout(dyn, spec, x0, last_op, strategy_sel)

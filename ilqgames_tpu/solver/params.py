@@ -46,3 +46,9 @@ class SolverParams:
 
     # LQ kernel regularization (Gershgorin; src/lq_feedback_solver.cpp:163).
     adaptive_regularization: bool = True
+
+    # Parallel-linesearch tranche width (TPU-native knob; no reference
+    # analogue). Candidate stepsizes are merit-evaluated `chunk` at a time;
+    # iterations that accept in the first tranche — the typical case — do
+    # `chunk` rollouts of work instead of max_backtracking_steps.
+    linesearch_chunk: int = 8
