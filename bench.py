@@ -61,7 +61,7 @@ def main():
     )
 
     n_chips = jax.device_count()
-    batch = int(os.environ.get("BENCH_BATCH", "64")) * n_chips
+    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_chips
     rng = np.random.RandomState(0)
     x0 = np.tile(np.asarray(problem.x0)[None], (batch, 1))
     # Perturb initial positions/speeds so instances are genuinely distinct.
@@ -80,7 +80,7 @@ def main():
     res = solver(x0)
     jax.block_until_ready(res.op.xs)
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "1"))
     t0 = time.perf_counter()
     for _ in range(reps):
         res = solver(x0)

@@ -87,7 +87,9 @@ def make_batched_solver(
     x0_sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     if host_outer_loop:
-        run = al_solver.make_host_batched_solver(
+        from ilqgames_tpu.solver import fused
+
+        run = fused.make_host_batched_solver(
             problem.dynamics, problem.player_costs, problem.spec, params,
             warm_op=problem.initial_operating_point(),
             warm_strategy=problem.initial_strategy(),

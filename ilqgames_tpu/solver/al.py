@@ -374,9 +374,19 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
             first.merit, ~first.failed, ~first.failed,
             first.num_iterations, jnp.full((B,), jnp.inf, jnp.float32),
         )
+        import os as _os
+        import time as _time
+        _dbg = bool(_os.environ.get("ILQGAMES_DEBUG_TIMING"))
         any_active = jnp.asarray(True)
+        rounds = 0
         while bool(any_active):
+            _t0 = _time.perf_counter()
             state, any_active = round_b(x0_batch, state)
+            if _dbg:
+                any_active.block_until_ready()
+                print(f"[al] round {rounds}: "
+                      f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+            rounds += 1
 
         (al_state, _, _, result_op, result_st,
          last_merit, inner_ok, success, cum_iters, violation) = state

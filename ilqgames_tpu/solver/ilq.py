@@ -100,6 +100,171 @@ class _SolveCarry:
     failed: jnp.ndarray
 
 
+def iteration_step(dyn, player_costs, spec, params, x0, al_state, c):
+    """ONE iLQ iteration: linearize, solve the LQ game, parallel-linesearch,
+    accept/revert (the body of ILQSolver::Solve's main loop,
+    src/ilq_solver.cpp:123-165). Exposed at module level so the fused
+    AL+iLQ state machine (solver/fused.py) can drive it with a traced,
+    per-lane ALState."""
+    lin = dyn_base.linearize(dyn, spec, c.op)
+    if params.open_loop:
+        lqsol = solve_lq_open_loop(spec, lin, c.quad, x0 - c.op.xs[0])
+    else:
+        lqsol = solve_lq_feedback(
+            spec, lin, c.quad, x0 - c.op.xs[0],
+            adaptive_regularization=params.adaptive_regularization,
+        )
+
+    # --- ModifyLQStrategies (src/ilq_solver.cpp:289-348) ---
+    expected_decrease = _expected_decrease(
+        spec, c.quad, lqsol.strategy.alphas, lqsol.delta_xs
+    )
+    last_op = c.op
+
+    if not params.linesearch:
+        scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
+        trial_op = dyn_base.rollout(dyn, spec, x0, last_op, scaled)
+        totals, extreme_ks = pcost.total_costs(player_costs, spec, trial_op)
+        quad = pcost.quadraticize(player_costs, spec, trial_op, al_state, extreme_ks)
+        return c.replace(
+            op=trial_op,
+            strategy=scaled,
+            quad=quad,
+            extreme_ks=extreme_ks,
+            iteration=c.iteration + 1,
+        )
+
+    # --- PARALLEL linesearch: every candidate stepsize at once. The
+    # reference tries initial, initial*g, initial*g^2, ... sequentially
+    # and accepts the first Armijo pass (src/ilq_solver.cpp:325-343);
+    # evaluating the whole geometric ladder in parallel and selecting
+    # the first passing index is the same rule, and merit needs only
+    # stage GRADIENTS, not full quadraticizations.
+    n_cand = params.max_backtracking_steps
+    scalings = params.initial_alpha_scaling * (
+        params.geometric_alpha_scaling
+        ** jnp.arange(n_cand, dtype=jnp.float32)
+    )
+
+    # Fused sweep in TRANCHES: candidates are evaluated `chunk` at a
+    # time (one scan over time advances all candidates in the tranche
+    # and accumulates gradient-only merits in the carry); tranches stop
+    # as soon as one contains an Armijo pass. Typical iterations accept
+    # in the first tranche, so the compute matches the reference's lazy
+    # sequential search while keeping its sequential depth ~chunk x
+    # smaller. Worst case degrades to ceil(n_cand/chunk) sequential
+    # sweeps — the reference's n_cand rollouts, chunked.
+    u_mask = spec.u_mask()
+    extreme_gate = jnp.ones((spec.num_time_steps, spec.num_players),
+                            jnp.float32)
+    ks_all = jnp.arange(spec.num_time_steps)
+    for _i, _pc in enumerate(player_costs):
+        if _pc.structure != pcost.STRUCTURE_SUM:
+            extreme_gate = extreme_gate.at[:, _i].set(
+                (ks_all == c.extreme_ks[_i]).astype(jnp.float32)
+            )
+
+    chunk = min(params.linesearch_chunk, n_cand)
+    n_tranche = -(-n_cand // chunk)  # ceil
+    # Pad the ladder so every tranche has `chunk` entries; padding
+    # repeats the smallest stepsize (harmless: selection is first-wins
+    # over the REAL indices only, via validity masking).
+    pad = n_tranche * chunk - n_cand
+    scal_pad = jnp.concatenate(
+        [scalings, jnp.full((pad,), scalings[-1], jnp.float32)]
+    ).reshape(n_tranche, chunk)
+    valid = (jnp.arange(n_tranche * chunk) < n_cand).reshape(
+        n_tranche, chunk
+    )
+
+    def tranche_merits(scals):
+        def sweep_step(carry, inputs):
+            xs_c, merit_c = carry  # [chunk, xdim], [chunk]
+            k, x_ref, u_ref, P_ref, alpha = inputs
+
+            def one(x_k, s, m):
+                delta = x_k - x_ref
+                us = (
+                    u_ref
+                    - jnp.einsum("pux,x->pu", P_ref, delta)
+                    - s * alpha
+                ) * u_mask
+                t = last_op.t0 + k.astype(jnp.float32) * spec.dt
+                l_k, r_k = pcost.stage_gradients(
+                    player_costs, spec, al_state, k, t, x_k, us
+                )
+                l_k = l_k * extreme_gate[k][:, None]
+                state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
+                m_new = m + jnp.sum(r_k * r_k) + state_term
+                x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
+                return x_next, m_new
+
+            xs_c, merit_c = jax.vmap(one)(xs_c, scals, merit_c)
+            return (xs_c, merit_c), None
+
+        xs0 = jnp.tile(x0[None], (chunk, 1))
+        merit0 = jnp.zeros((chunk,), jnp.float32)
+        (_, merit_sums), _ = jax.lax.scan(
+            sweep_step,
+            (xs0, merit0),
+            (ks_all, last_op.xs, last_op.us,
+             lqsol.strategy.Ps, lqsol.strategy.alphas),
+            unroll=10,
+        )
+        return 0.5 * merit_sums
+
+    def tr_cond(tc):
+        t_idx, found, _, _ = tc
+        return (t_idx < n_tranche) & ~found
+
+    def tr_body(tc):
+        t_idx, _, _, _ = tc
+        scals = scal_pad[t_idx]
+        merits_t = tranche_merits(scals)
+        # Armijo per candidate (src/ilq_solver.cpp:350-362).
+        ok = ((c.last_merit - merits_t)
+              >= params.expected_decrease_fraction * scals
+              * expected_decrease) & valid[t_idx]
+        found = jnp.any(ok)
+        local = jnp.argmax(ok)  # first pass within the tranche
+        return (t_idx + 1, found, scals[local], merits_t[local])
+
+    _, passed, scal_sel, merit_sel = jax.lax.while_loop(
+        tr_cond, tr_body,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+         scalings[0], c.last_merit),
+    )
+
+    strategy_sel = lqsol.strategy.scale_alphas(scal_sel)
+    # Re-roll the selected candidate once (cheaper than materializing
+    # every candidate's trajectory during the sweep).
+    op_sel = dyn_base.rollout(dyn, spec, x0, last_op, strategy_sel)
+    # One full quadraticization at the accepted iterate (the reference
+    # retains the one computed inside MeritFunction; same values).
+    quad_sel = pcost.quadraticize(player_costs, spec, op_sel, al_state, c.extreme_ks)
+
+    failed = ~passed  # no candidate satisfied Armijo
+    converged = passed & (merit_sel <= c.last_merit) & (
+        jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
+    )
+    totals, extreme_ks = pcost.total_costs(player_costs, spec, op_sel)
+    # On linesearch failure the reference reverts to the last accepted
+    # iterate (its log never records the failed trial,
+    # src/ilq_solver.cpp:146-155).
+    accept = lambda a, b: jnp.where(passed, a, b)
+    return _SolveCarry(
+        op=jax.tree_util.tree_map(accept, op_sel, c.op),
+        strategy=jax.tree_util.tree_map(accept, strategy_sel, c.strategy),
+        quad=jax.tree_util.tree_map(accept, quad_sel, c.quad),
+        extreme_ks=accept(extreme_ks, c.extreme_ks),
+        last_merit=accept(merit_sel, c.last_merit),
+        iteration=c.iteration + 1,
+        converged=converged,
+        failed=failed,
+    )
+
+
+
 def solve(
     dyn: dyn_base.MultiPlayerDynamics,
     player_costs: Tuple[pcost.PlayerCost, ...],
@@ -161,155 +326,7 @@ def solve(
         return (c.iteration < max_iters) & ~c.converged & ~c.failed
 
     def body(c: _SolveCarry) -> _SolveCarry:
-        lin = dyn_base.linearize(dyn, spec, c.op)
-        lqsol = lq_solve(lin, c.quad, x0 - c.op.xs[0])
-
-        # --- ModifyLQStrategies (src/ilq_solver.cpp:289-348) ---
-        expected_decrease = _expected_decrease(
-            spec, c.quad, lqsol.strategy.alphas, lqsol.delta_xs
-        )
-        last_op = c.op
-
-        if not params.linesearch:
-            scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
-            trial_op = dyn_base.rollout(dyn, spec, x0, last_op, scaled)
-            totals, extreme_ks = pcost.total_costs(player_costs, spec, trial_op)
-            quad = quadraticize(trial_op, extreme_ks)
-            return c.replace(
-                op=trial_op,
-                strategy=scaled,
-                quad=quad,
-                extreme_ks=extreme_ks,
-                iteration=c.iteration + 1,
-            )
-
-        # --- PARALLEL linesearch: every candidate stepsize at once. The
-        # reference tries initial, initial*g, initial*g^2, ... sequentially
-        # and accepts the first Armijo pass (src/ilq_solver.cpp:325-343);
-        # evaluating the whole geometric ladder in parallel and selecting
-        # the first passing index is the same rule, and merit needs only
-        # stage GRADIENTS, not full quadraticizations.
-        n_cand = params.max_backtracking_steps
-        scalings = params.initial_alpha_scaling * (
-            params.geometric_alpha_scaling
-            ** jnp.arange(n_cand, dtype=jnp.float32)
-        )
-
-        # Fused sweep in TRANCHES: candidates are evaluated `chunk` at a
-        # time (one scan over time advances all candidates in the tranche
-        # and accumulates gradient-only merits in the carry); tranches stop
-        # as soon as one contains an Armijo pass. Typical iterations accept
-        # in the first tranche, so the compute matches the reference's lazy
-        # sequential search while keeping its sequential depth ~chunk x
-        # smaller. Worst case degrades to ceil(n_cand/chunk) sequential
-        # sweeps — the reference's n_cand rollouts, chunked.
-        u_mask = spec.u_mask()
-        extreme_gate = jnp.ones((spec.num_time_steps, spec.num_players),
-                                jnp.float32)
-        ks_all = jnp.arange(spec.num_time_steps)
-        for _i, _pc in enumerate(player_costs):
-            if _pc.structure != pcost.STRUCTURE_SUM:
-                extreme_gate = extreme_gate.at[:, _i].set(
-                    (ks_all == c.extreme_ks[_i]).astype(jnp.float32)
-                )
-
-        chunk = min(params.linesearch_chunk, n_cand)
-        n_tranche = -(-n_cand // chunk)  # ceil
-        # Pad the ladder so every tranche has `chunk` entries; padding
-        # repeats the smallest stepsize (harmless: selection is first-wins
-        # over the REAL indices only, via validity masking).
-        pad = n_tranche * chunk - n_cand
-        scal_pad = jnp.concatenate(
-            [scalings, jnp.full((pad,), scalings[-1], jnp.float32)]
-        ).reshape(n_tranche, chunk)
-        valid = (jnp.arange(n_tranche * chunk) < n_cand).reshape(
-            n_tranche, chunk
-        )
-
-        def tranche_merits(scals):
-            def sweep_step(carry, inputs):
-                xs_c, merit_c = carry  # [chunk, xdim], [chunk]
-                k, x_ref, u_ref, P_ref, alpha = inputs
-
-                def one(x_k, s, m):
-                    delta = x_k - x_ref
-                    us = (
-                        u_ref
-                        - jnp.einsum("pux,x->pu", P_ref, delta)
-                        - s * alpha
-                    ) * u_mask
-                    t = last_op.t0 + k.astype(jnp.float32) * spec.dt
-                    l_k, r_k = pcost.stage_gradients(
-                        player_costs, spec, al_state, k, t, x_k, us
-                    )
-                    l_k = l_k * extreme_gate[k][:, None]
-                    state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
-                    m_new = m + jnp.sum(r_k * r_k) + state_term
-                    x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
-                    return x_next, m_new
-
-                xs_c, merit_c = jax.vmap(one)(xs_c, scals, merit_c)
-                return (xs_c, merit_c), None
-
-            xs0 = jnp.tile(x0[None], (chunk, 1))
-            merit0 = jnp.zeros((chunk,), jnp.float32)
-            (_, merit_sums), _ = jax.lax.scan(
-                sweep_step,
-                (xs0, merit0),
-                (ks_all, last_op.xs, last_op.us,
-                 lqsol.strategy.Ps, lqsol.strategy.alphas),
-            )
-            return 0.5 * merit_sums
-
-        def tr_cond(tc):
-            t_idx, found, _, _ = tc
-            return (t_idx < n_tranche) & ~found
-
-        def tr_body(tc):
-            t_idx, _, _, _ = tc
-            scals = scal_pad[t_idx]
-            merits_t = tranche_merits(scals)
-            # Armijo per candidate (src/ilq_solver.cpp:350-362).
-            ok = ((c.last_merit - merits_t)
-                  >= params.expected_decrease_fraction * scals
-                  * expected_decrease) & valid[t_idx]
-            found = jnp.any(ok)
-            local = jnp.argmax(ok)  # first pass within the tranche
-            return (t_idx + 1, found, scals[local], merits_t[local])
-
-        _, passed, scal_sel, merit_sel = jax.lax.while_loop(
-            tr_cond, tr_body,
-            (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-             scalings[0], c.last_merit),
-        )
-
-        strategy_sel = lqsol.strategy.scale_alphas(scal_sel)
-        # Re-roll the selected candidate once (cheaper than materializing
-        # every candidate's trajectory during the sweep).
-        op_sel = dyn_base.rollout(dyn, spec, x0, last_op, strategy_sel)
-        # One full quadraticization at the accepted iterate (the reference
-        # retains the one computed inside MeritFunction; same values).
-        quad_sel = quadraticize(op_sel, c.extreme_ks)
-
-        failed = ~passed  # no candidate satisfied Armijo
-        converged = passed & (merit_sel <= c.last_merit) & (
-            jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
-        )
-        totals, extreme_ks = pcost.total_costs(player_costs, spec, op_sel)
-        # On linesearch failure the reference reverts to the last accepted
-        # iterate (its log never records the failed trial,
-        # src/ilq_solver.cpp:146-155).
-        accept = lambda a, b: jnp.where(passed, a, b)
-        return _SolveCarry(
-            op=jax.tree_util.tree_map(accept, op_sel, c.op),
-            strategy=jax.tree_util.tree_map(accept, strategy_sel, c.strategy),
-            quad=jax.tree_util.tree_map(accept, quad_sel, c.quad),
-            extreme_ks=accept(extreme_ks, c.extreme_ks),
-            last_merit=accept(merit_sel, c.last_merit),
-            iteration=c.iteration + 1,
-            converged=converged,
-            failed=failed,
-        )
+        return iteration_step(dyn, player_costs, spec, params, x0, al_state, c)
 
     if record_history:
         # Fixed-trip-count scan with post-convergence masking: identical

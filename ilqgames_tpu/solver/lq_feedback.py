@@ -142,7 +142,7 @@ def solve_lq_feedback(
         quad.r[: N - 1],
     )
     (_, _), (Ps_rev, alphas_rev, Znext, zetanext) = jax.lax.scan(
-        backward_step, (Z_T, zeta_T), stages, reverse=True
+        backward_step, (Z_T, zeta_T), stages, reverse=True, unroll=10
     )
 
     # Final timestep strategies stay zero (reference never writes them).
@@ -161,7 +161,9 @@ def solve_lq_feedback(
         return x_next, (x_star, costate)
 
     fwd_stages = (lin.A[: N - 1], lin.Bs[: N - 1], alphas_rev, Znext, zetanext)
-    x_last, (dxs, costates) = jax.lax.scan(forward_step, x0, fwd_stages)
+    x_last, (dxs, costates) = jax.lax.scan(
+        forward_step, x0, fwd_stages, unroll=10
+    )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)
     costates = jnp.concatenate(

@@ -96,7 +96,9 @@ def solve_lq_open_loop(
         quad.R[: N - 1],
         quad.r[: N - 1],
     )
-    _, caches = jax.lax.scan(backward_step, (M_T, m_T), stages, reverse=True)
+    _, caches = jax.lax.scan(
+        backward_step, (M_T, m_T), stages, reverse=True, unroll=10
+    )
 
     def forward_step(x_star, cache):
         A, warped_B, warped_r, Lam, inter, Mn, mn = cache
@@ -108,7 +110,9 @@ def solve_lq_open_loop(
         return x_next, (dx_k, alpha, costate)
 
     fwd = (lin.A[: N - 1],) + caches
-    x_last, (dxs, alphas, costates) = jax.lax.scan(forward_step, x0, fwd)
+    x_last, (dxs, alphas, costates) = jax.lax.scan(
+        forward_step, x0, fwd, unroll=10
+    )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)
     alphas = jnp.concatenate([alphas, jnp.zeros((1, P, u), alphas.dtype)], axis=0)
