@@ -172,11 +172,9 @@ def rollout(
         return x_next, (x, us)
 
     ks = jnp.arange(spec.num_time_steps)
-    # unroll amortizes per-step loop overhead on TPU, where these scans are
-    # latency-bound (tiny per-step tensors).
     _, (xs, us) = jax.lax.scan(
         step, x0, (ks, last_op.xs, last_op.us, strategy.Ps, strategy.alphas),
-        unroll=10,
+        
     )
     return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
 

@@ -209,7 +209,7 @@ def iteration_step(dyn, player_costs, spec, params, x0, al_state, c):
             (xs0, merit0),
             (ks_all, last_op.xs, last_op.us,
              lqsol.strategy.Ps, lqsol.strategy.alphas),
-            unroll=10,
+            
         )
         return 0.5 * merit_sums
 

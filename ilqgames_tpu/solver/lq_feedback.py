@@ -142,7 +142,7 @@ def solve_lq_feedback(
         quad.r[: N - 1],
     )
     (_, _), (Ps_rev, alphas_rev, Znext, zetanext) = jax.lax.scan(
-        backward_step, (Z_T, zeta_T), stages, reverse=True, unroll=10
+        backward_step, (Z_T, zeta_T), stages, reverse=True
     )
 
     # Final timestep strategies stay zero (reference never writes them).
@@ -162,7 +162,7 @@ def solve_lq_feedback(
 
     fwd_stages = (lin.A[: N - 1], lin.Bs[: N - 1], alphas_rev, Znext, zetanext)
     x_last, (dxs, costates) = jax.lax.scan(
-        forward_step, x0, fwd_stages, unroll=10
+        forward_step, x0, fwd_stages
     )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)

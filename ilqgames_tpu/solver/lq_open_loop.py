@@ -97,7 +97,7 @@ def solve_lq_open_loop(
         quad.r[: N - 1],
     )
     _, caches = jax.lax.scan(
-        backward_step, (M_T, m_T), stages, reverse=True, unroll=10
+        backward_step, (M_T, m_T), stages, reverse=True
     )
 
     def forward_step(x_star, cache):
@@ -111,7 +111,7 @@ def solve_lq_open_loop(
 
     fwd = (lin.A[: N - 1],) + caches
     x_last, (dxs, alphas, costates) = jax.lax.scan(
-        forward_step, x0, fwd, unroll=10
+        forward_step, x0, fwd
     )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)
