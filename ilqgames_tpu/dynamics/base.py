@@ -26,7 +26,8 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ilqgames_tpu.types import GameSpec, LinearDynamics, OperatingPoint, Strategy
+from ilqgames_tpu.types import (GameSpec, LinearDynamics, OperatingPoint,
+                                Strategy, scan_unroll)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -174,7 +175,7 @@ def rollout(
     ks = jnp.arange(spec.num_time_steps)
     _, (xs, us) = jax.lax.scan(
         step, x0, (ks, last_op.xs, last_op.us, strategy.Ps, strategy.alphas),
-        
+        unroll=scan_unroll(),
     )
     return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
 

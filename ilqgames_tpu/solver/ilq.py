@@ -38,6 +38,7 @@ from ilqgames_tpu.solver.lq_feedback import solve_lq_feedback
 from ilqgames_tpu.solver.lq_open_loop import solve_lq_open_loop
 from ilqgames_tpu.solver.params import SolverParams
 from ilqgames_tpu.types import (
+    scan_unroll,
     GameSpec,
     LinearDynamics,
     OperatingPoint,

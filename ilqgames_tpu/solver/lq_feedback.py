@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqgames_tpu.types import (
+    scan_unroll,
     GameSpec,
     LinearDynamics,
     LQSolution,
@@ -142,7 +143,8 @@ def solve_lq_feedback(
         quad.r[: N - 1],
     )
     (_, _), (Ps_rev, alphas_rev, Znext, zetanext) = jax.lax.scan(
-        backward_step, (Z_T, zeta_T), stages, reverse=True
+        backward_step, (Z_T, zeta_T), stages, reverse=True,
+        unroll=scan_unroll(),
     )
 
     # Final timestep strategies stay zero (reference never writes them).
@@ -162,7 +164,7 @@ def solve_lq_feedback(
 
     fwd_stages = (lin.A[: N - 1], lin.Bs[: N - 1], alphas_rev, Znext, zetanext)
     x_last, (dxs, costates) = jax.lax.scan(
-        forward_step, x0, fwd_stages
+        forward_step, x0, fwd_stages, unroll=scan_unroll()
     )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)

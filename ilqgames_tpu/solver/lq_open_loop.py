@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqgames_tpu.types import (
+    scan_unroll,
     GameSpec,
     LinearDynamics,
     LQSolution,
@@ -97,7 +98,8 @@ def solve_lq_open_loop(
         quad.r[: N - 1],
     )
     _, caches = jax.lax.scan(
-        backward_step, (M_T, m_T), stages, reverse=True
+        backward_step, (M_T, m_T), stages, reverse=True,
+        unroll=scan_unroll(),
     )
 
     def forward_step(x_star, cache):
@@ -111,7 +113,7 @@ def solve_lq_open_loop(
 
     fwd = (lin.A[: N - 1],) + caches
     x_last, (dxs, alphas, costates) = jax.lax.scan(
-        forward_step, x0, fwd
+        forward_step, x0, fwd, unroll=scan_unroll()
     )
 
     delta_xs = jnp.concatenate([dxs, x_last[None]], axis=0)

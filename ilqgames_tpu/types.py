@@ -39,6 +39,14 @@ DEFAULT_NUM_TIME_STEPS = int(
 )  # = 100
 
 
+def scan_unroll() -> int:
+    """Unroll factor for the horizon scans. On TPU the per-step loop
+    overhead dominates these tiny-tensor scans (measured ~18% end-to-end
+    win at unroll=10); on CPU unrolling only multiplies test compile
+    times. Resolved at trace time from the active backend."""
+    return 10 if jax.default_backend() == "tpu" else 1
+
+
 @dataclasses.dataclass(frozen=True)
 class GameSpec:
     """Static description of an N-player dynamic game's shapes.
