@@ -47,6 +47,10 @@ def build_parser():
     # Receding-horizon mode (reference exec/receding_horizon_example).
     p.add_argument("--receding_horizon", action="store_true",
                    help="run the fixed-cadence receding-horizon simulator")
+    p.add_argument("--safety_example", default=None,
+                   help="run the minimally-invasive dual-solver simulator "
+                        "with this example as the safety problem "
+                        "(e.g. three_player_intersection_reachability)")
     p.add_argument("--final_time", type=float, default=10.0)
     p.add_argument("--replan_interval", type=float, default=0.25)
     p.add_argument("--planner_runtime", type=float, default=0.25)
@@ -98,6 +102,25 @@ def main(argv=None):
             "num_converged": int(np.asarray(res.converged).sum()),
             "max_violation": float(np.asarray(res.max_violation).max()),
         }))
+        return 0
+
+    if args.safety_example:
+        from ilqgames_tpu.runtime import receding_horizon as rh
+
+        safety = examples.get(args.safety_example)(
+            num_time_steps=args.num_time_steps
+        )
+        t0 = time.perf_counter()
+        xs, ts, flags, state = rh.simulate_minimally_invasive(
+            problem, safety, params, final_time=args.final_time,
+            replan_interval=args.replan_interval,
+            planner_time=args.planner_runtime,
+        )
+        jax.block_until_ready(xs)
+        n_safety = int(np.asarray(flags).sum())
+        print(f"Simulated {float(ts[-1]):.2f} s "
+              f"({int(state.num_replans)} replans, safety controller active "
+              f"{n_safety}x) in {time.perf_counter() - t0:.2f} s wall.")
         return 0
 
     if args.receding_horizon:
