@@ -46,12 +46,17 @@ class Cost:
     support: Optional[Tuple[int, ...]] = None
 
     def _restricted(self, t, v):
-        idx = jnp.asarray(self.support)
+        # Static per-index updates (not array-index scatters) so the trace
+        # stays gather/scatter-free and runs unchanged inside Pallas kernels.
+        idx = self.support
 
         def f(sub):
-            return self.evaluate(t, v.at[idx].set(sub))
+            vv = v
+            for n, i in enumerate(idx):
+                vv = vv.at[i].set(sub[n])
+            return self.evaluate(t, vv)
 
-        return f, v[idx]
+        return f, jnp.stack([v[i] for i in idx])
 
     def gradient(self, t, v):
         """Gradient alone (no Hessian work) — the merit path's primitive."""
@@ -60,7 +65,10 @@ class Cost:
         if self.support is not None:
             f, sub = self._restricted(t, v)
             g = jax.grad(f)(sub)
-            return jnp.zeros_like(v).at[jnp.asarray(self.support)].set(g)
+            out = jnp.zeros_like(v)
+            for n, i in enumerate(self.support):
+                out = out.at[i].set(g[n])
+            return out
         return jax.grad(self.evaluate, argnums=1)(t, v)
 
     def quadraticize(self, t, v):
@@ -68,12 +76,16 @@ class Cost:
             return self.quad_fn(t, v)
         if self.support is not None:
             f, sub = self._restricted(t, v)
-            idx = jnp.asarray(self.support)
+            idx = self.support
             g = jax.grad(f)(sub)
             h = jax.hessian(f)(sub)
             d = v.shape[0]
-            grad = jnp.zeros((d,), v.dtype).at[idx].set(g)
-            hess = jnp.zeros((d, d), v.dtype).at[jnp.ix_(idx, idx)].set(h)
+            grad = jnp.zeros((d,), v.dtype)
+            hess = jnp.zeros((d, d), v.dtype)
+            for n, i in enumerate(idx):
+                grad = grad.at[i].set(g[n])
+                for n2, i2 in enumerate(idx):
+                    hess = hess.at[i, i2].set(h[n, n2])
             return hess, grad
         grad = jax.grad(self.evaluate, argnums=1)(t, v)
         hess = jax.hessian(self.evaluate, argnums=1)(t, v)
@@ -110,12 +122,15 @@ class Constraint:
         return lam * g_val + 0.5 * mu_eff * g_val * g_val
 
     def _restricted_al(self, t, v, lam, mu):
-        idx = jnp.asarray(self.support)
+        idx = self.support
 
         def f(sub):
-            return self.evaluate_al(t, v.at[idx].set(sub), lam, mu)
+            vv = v
+            for n, i in enumerate(idx):
+                vv = vv.at[i].set(sub[n])
+            return self.evaluate_al(t, vv, lam, mu)
 
-        return f, v[idx]
+        return f, jnp.stack([v[i] for i in idx])
 
     def gradient_al(self, t, v, lam, mu):
         """AL-term gradient alone (merit path)."""
@@ -124,7 +139,10 @@ class Constraint:
         if self.support is not None:
             f, sub = self._restricted_al(t, v, lam, mu)
             g = jax.grad(f)(sub)
-            return jnp.zeros_like(v).at[jnp.asarray(self.support)].set(g)
+            out = jnp.zeros_like(v)
+            for n, i in enumerate(self.support):
+                out = out.at[i].set(g[n])
+            return out
         return jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
 
     def quadraticize_al(self, t, v, lam, mu):
@@ -137,12 +155,16 @@ class Constraint:
             return self.quad_fn(t, v, lam, mu)
         if self.support is not None:
             f, sub = self._restricted_al(t, v, lam, mu)
-            idx = jnp.asarray(self.support)
+            idx = self.support
             g = jax.grad(f)(sub)
             h = jax.hessian(f)(sub)
             d = v.shape[0]
-            grad = jnp.zeros((d,), v.dtype).at[idx].set(g)
-            hess = jnp.zeros((d, d), v.dtype).at[jnp.ix_(idx, idx)].set(h)
+            grad = jnp.zeros((d,), v.dtype)
+            hess = jnp.zeros((d, d), v.dtype)
+            for n, i in enumerate(idx):
+                grad = grad.at[i].set(g[n])
+                for n2, i2 in enumerate(idx):
+                    hess = hess.at[i, i2].set(h[n, n2])
             return hess, grad
         grad = jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
         hess = jax.hessian(self.evaluate_al, argnums=1)(t, v, lam, mu)

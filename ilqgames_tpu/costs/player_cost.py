@@ -121,12 +121,14 @@ def total_costs(player_costs, spec: GameSpec, op: OperatingPoint):
     return jnp.stack(totals), jnp.stack(extreme_ks)
 
 
-def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
-    """Gradients of every player's cost at ONE stage: (l [P,xdim],
-    r_own [P,umax]) — the gradient components of `quadraticize` (custom
-    quad_fn overrides included) without Hessians. Usable inside scans so a
-    rollout can accumulate merit terms on the fly."""
-    P = spec.num_players
+def stage_gradients_core(player_costs, spec: GameSpec, lam_state_k,
+                         lam_ctrl_k, mu, t, x, us):
+    """Gradients of every player's cost at ONE stage given that stage's
+    multipliers directly: (l [P,xdim], r_own [P,umax]).
+
+    lam_state_k / lam_ctrl_k: per-player tuples of [n_constraints_i]
+    multiplier vectors for this knot. Shared by the scan-based sweep and
+    the Pallas sweep kernel (which streams multipliers per knot)."""
     xd = spec.xdim
     um = spec.umax
 
@@ -137,8 +139,7 @@ def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
         for c in pc.state_costs:
             grad = grad + c.gradient(t, x)
         for ci, con in enumerate(pc.state_constraints):
-            lam = al.state_lambdas[i][ci, k]
-            grad = grad + con.gradient_al(t, x, lam, al.mu)
+            grad = grad + con.gradient_al(t, x, lam_state_k[i][ci], mu)
         ls.append(grad)
 
         ug = jnp.zeros((um,), jnp.float32)
@@ -147,11 +148,22 @@ def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
                 ug = ug + c.gradient(t, us[i])
         for ci, (jj, con) in enumerate(pc.control_constraints):
             if jj == i:
-                lam = al.control_lambdas[i][ci, k]
-                ug = ug + con.gradient_al(t, us[i], lam, al.mu)
+                ug = ug + con.gradient_al(t, us[i], lam_ctrl_k[i][ci], mu)
         rs.append(ug)
 
     return jnp.stack(ls), jnp.stack(rs)
+
+
+def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
+    """Gradients of every player's cost at ONE stage: (l [P,xdim],
+    r_own [P,umax]) — the gradient components of `quadraticize` (custom
+    quad_fn overrides included) without Hessians. Usable inside scans so a
+    rollout can accumulate merit terms on the fly."""
+    lam_state_k = tuple(lams[:, k] for lams in al.state_lambdas)
+    lam_ctrl_k = tuple(lams[:, k] for lams in al.control_lambdas)
+    return stage_gradients_core(
+        player_costs, spec, lam_state_k, lam_ctrl_k, al.mu, t, x, us
+    )
 
 
 def gradients(

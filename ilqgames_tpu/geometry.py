@@ -4,12 +4,17 @@ TPU-native re-design of the reference geometry layer
 (geometry/line_segment2.h:52-90, geometry/polyline2.h:53-90,
 src/polyline2.cpp, src/line_segment2.cpp, src/draw_shapes.cpp:51-75).
 
-A polyline is a static (M, 2) float array of vertices. The closest-point
-query vectorizes over all segments and selects with a first-occurrence
-argmin, exactly mirroring the reference's sequential strict-< scan. The
-discrete *choices* (which segment, vertex vs. interior, side fix) are
-stop-gradiented so that `jax.grad`/`jax.hessian` of quantities built on
-the signed distance reproduce the reference's analytic derivatives.
+A polyline is a static (M, 2) array of vertices. The closest-point query
+is UNROLLED over the (few, static) segments with pure Python-float
+constants, so its trace contains no array constants and no gathers — it
+lowers to elementwise ops and therefore runs unchanged inside Pallas TPU
+kernels (which reject closure-captured array constants). The winner is
+the first segment with strictly smallest |signed sq distance|, exactly
+mirroring the reference's sequential strict-< scan, implemented as
+exclusive where-masks. The discrete *choices* (which segment, vertex vs.
+interior, side fix) are stop-gradiented so that `jax.grad`/`jax.hessian`
+of quantities built on the signed distance reproduce the reference's
+analytic derivatives.
 
 Sign convention: signed (squared) distance is positive when the query is
 on the *right* of the segment direction (src/line_segment2.cpp Side()).
@@ -21,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ilqgames_tpu.types import SMALL_NUMBER
 
@@ -45,6 +51,28 @@ def segment_side(p1: jnp.ndarray, unit_dir: jnp.ndarray, query: jnp.ndarray):
     return cross > 0.0
 
 
+def _static_segments(points):
+    """Per-segment Python-float constants: (p1, p2, unit, length) tuples."""
+    # float32 arithmetic so inlined literals match what the previous
+    # jnp-constant implementation computed on-device.
+    pts = np.asarray(points, np.float32)
+    segs = []
+    for s in range(pts.shape[0] - 1):
+        p1 = pts[s]
+        p2 = pts[s + 1]
+        d = p2 - p1
+        length = float(np.sqrt(np.float32(d @ d)))
+        denom = np.float32(max(length, _EPS))
+        ux, uy = (d / denom).tolist()
+        segs.append((
+            (float(p1[0]), float(p1[1])),
+            (float(p2[0]), float(p2[1])),
+            (float(ux), float(uy)),
+            length,
+        ))
+    return pts, segs
+
+
 def polyline_cumulative_lengths(points: jnp.ndarray) -> jnp.ndarray:
     """[M] cumulative arc length at each vertex (first entry 0)."""
     seg_len = jnp.linalg.norm(jnp.diff(points, axis=0), axis=-1)
@@ -54,20 +82,23 @@ def polyline_cumulative_lengths(points: jnp.ndarray) -> jnp.ndarray:
 def polyline_point_at(points: jnp.ndarray, route_pos: jnp.ndarray) -> jnp.ndarray:
     """Walk `route_pos` meters along the polyline (reference Polyline2::PointAt,
     src/polyline2.cpp:68-90). Positions past the end clamp to the last segment's
-    extrapolation, matching upper_bound-- semantics."""
-    cum = polyline_cumulative_lengths(points)
-    num_segments = points.shape[0] - 1
-    # Index of the segment containing route_pos: last idx with cum[idx] <= pos.
-    idx = jnp.clip(
-        jnp.searchsorted(cum, route_pos, side="right") - 1, 0, num_segments - 1
-    )
-    idx = jax.lax.stop_gradient(idx)
-    p1 = points[idx]
-    p2 = points[idx + 1]
-    seg_len = jnp.linalg.norm(p2 - p1)
-    unit = (p2 - p1) / jnp.maximum(seg_len, _EPS)
-    remaining = route_pos - cum[idx]
-    return p1 + remaining * unit
+    extrapolation, matching upper_bound-- semantics. Unrolled over segments
+    (last segment with cumulative length <= route_pos wins)."""
+    _, segs = _static_segments(points)
+    cum = 0.0
+    px = py = None
+    for s, (p1, _p2, (ux, uy), length) in enumerate(segs):
+        rem = route_pos - cum
+        cand_x = p1[0] + rem * ux
+        cand_y = p1[1] + rem * uy
+        if s == 0:
+            px, py = cand_x, cand_y
+        else:
+            inside = route_pos >= cum
+            px = jnp.where(inside, cand_x, px)
+            py = jnp.where(inside, cand_y, py)
+        cum += length
+    return jnp.stack([px, py])
 
 
 def polyline_closest_point(
@@ -84,83 +115,112 @@ def polyline_closest_point(
         segment spanning the neighboring vertices;
       * is_endpoint flags closest points at the global polyline ends.
     """
-    p1s = points[:-1]  # [S, 2]
-    p2s = points[1:]  # [S, 2]
-    num_segments = p1s.shape[0]
+    pts, segs = _static_segments(points)
+    S = len(segs)
+    qx, qy = query[0], query[1]
 
-    diffs = p2s - p1s
-    lengths = jnp.linalg.norm(diffs, axis=-1)  # [S]
-    units = diffs / jnp.maximum(lengths, _EPS)[:, None]  # [S, 2]
+    # ---- per-segment candidates (all scalar ops, float constants) ----
+    cand = []
+    for s, (p1, p2, (ux, uy), length) in enumerate(segs):
+        rx, ry = qx - p1[0], qy - p1[1]
+        dot = rx * ux + ry * uy
+        cross = rx * uy - ux * ry
+        cross_sign = jnp.sign(cross)
+        sq_p1 = rx * rx + ry * ry
+        r2x, r2y = qx - p2[0], qy - p2[1]
+        sq_p2 = r2x * r2x + r2y * r2y
 
-    rel = query[None, :] - p1s  # [S, 2]
-    dots = jnp.sum(rel * units, axis=-1)  # [S]
-    crosses = rel[:, 0] * units[:, 1] - units[:, 0] * rel[:, 1]  # [S]
-    cross_signs = jnp.sign(crosses)
+        behind = dot < 0.0
+        ahead = dot > length
+        is_seg_endpoint = behind | ahead
 
-    # Candidate closest points for the three cases.
-    interior_pts = p1s + dots[:, None] * units
-    sq_p1 = jnp.sum(rel * rel, axis=-1)
-    rel2 = query[None, :] - p2s
-    sq_p2 = jnp.sum(rel2 * rel2, axis=-1)
+        cpx = jnp.where(behind, p1[0],
+                        jnp.where(ahead, p2[0], p1[0] + dot * ux))
+        cpy = jnp.where(behind, p1[1],
+                        jnp.where(ahead, p2[1], p1[1] + dot * uy))
+        ssd = jnp.where(
+            behind, cross_sign * sq_p1,
+            jnp.where(ahead, cross_sign * sq_p2, cross_sign * cross * cross),
+        )
 
-    behind = dots < 0.0
-    ahead = dots > lengths
-    is_seg_endpoint = behind | ahead
+        # Interior-vertex side fix via the shortcut segment
+        # (polyline2.cpp:116-135): when the closest point is p1 of segment
+        # s the shortcut spans (pts[s-1], pts[s+1]), else (pts[s], pts[s+2]);
+        # indices clamp for safety (the masked branches below never use
+        # out-of-range values).
+        at_first = jax.lax.stop_gradient(~ahead)
+        a0 = pts[max(s - 1, 0)]
+        a1 = pts[min(s + 1, S)]
+        b0 = pts[s]
+        b1 = pts[min(s + 2, S)]
 
-    cp = jnp.where(
-        behind[:, None], p1s, jnp.where(ahead[:, None], p2s, interior_pts)
-    )
-    ssd = jnp.where(
-        behind,
-        cross_signs * sq_p1,
-        jnp.where(ahead, cross_signs * sq_p2, cross_signs * crosses * crosses),
-    )
+        def _sc(pa, pb):
+            d = pb - pa
+            ln = max(float(np.sqrt(d @ d)), _EPS)
+            return float(pa[0]), float(pa[1]), float(d[0] / ln), float(d[1] / ln)
 
-    best = jax.lax.stop_gradient(jnp.argmin(jnp.abs(ssd)))
+        ax0, ay0, aux, auy = _sc(a0, a1)
+        bx0, by0, bux, buy = _sc(b0, b1)
+        scx0 = jnp.where(at_first, ax0, bx0)
+        scy0 = jnp.where(at_first, ay0, by0)
+        scux = jnp.where(at_first, aux, bux)
+        scuy = jnp.where(at_first, auy, buy)
+        on_right = ((qx - scx0) * scuy - scux * (qy - scy0)) > 0.0
 
-    chosen_cp = cp[best]
-    chosen_ssd = ssd[best]
-    chosen_is_vertex = is_seg_endpoint[best]
-    chosen_p1 = p1s[best]
-    chosen_unit = units[best]
+        # Eligible: endpoint of the segment AND an interior polyline vertex
+        # (not the global first point of seg 0 / last of seg S-1).
+        global_first = at_first if s == 0 else jnp.asarray(False)
+        global_last = ~at_first if s == S - 1 else jnp.asarray(False)
+        fix = is_seg_endpoint & ~global_first & ~global_last
+        fixed_ssd = jnp.where(on_right, jnp.abs(ssd), -jnp.abs(ssd))
+        ssd = jnp.where(jax.lax.stop_gradient(fix), fixed_ssd, ssd)
 
-    # Interior-vertex side fix via the shortcut segment (polyline2.cpp:116-135).
-    at_first = jax.lax.stop_gradient(~ahead[best])  # closest is p1 of segment
-    # Shortcut spans (points[best-1], points[best+1]) when at p1, else
-    # (points[best], points[best+2]); clamp indices for safety (the masked
-    # branches below never use out-of-range values).
-    i0 = jnp.where(at_first, jnp.maximum(best - 1, 0), best)
-    i1 = jnp.where(
-        at_first,
-        jnp.minimum(best + 1, num_segments),
-        jnp.minimum(best + 2, num_segments),
-    )
-    sc_p1 = points[i0]
-    sc_p2 = points[i1]
-    sc_len = jnp.linalg.norm(sc_p2 - sc_p1)
-    sc_unit = (sc_p2 - sc_p1) / jnp.maximum(sc_len, _EPS)
-    on_right = segment_side(sc_p1, sc_unit, query)
+        cand.append(dict(
+            cpx=cpx, cpy=cpy, ssd=ssd, is_vertex=is_seg_endpoint,
+            p1=p1, unit=(ux, uy),
+        ))
 
-    # Eligible for the fix: endpoint of the segment AND an interior vertex of
-    # the polyline (not the global first point of seg 0 or last of seg S-1).
-    global_first = (best == 0) & at_first
-    global_last = (best == num_segments - 1) & ~at_first
-    fix = chosen_is_vertex & ~global_first & ~global_last
-    fixed_ssd = jnp.where(on_right, jnp.abs(chosen_ssd), -jnp.abs(chosen_ssd))
-    chosen_ssd = jnp.where(jax.lax.stop_gradient(fix), fixed_ssd, chosen_ssd)
+    # ---- first-occurrence winner (strict-< scan) as exclusive masks ----
+    absd = [jax.lax.stop_gradient(jnp.abs(c["ssd"])) for c in cand]
+    m = absd[0]
+    for a in absd[1:]:
+        m = jnp.minimum(m, a)
+    sel = []
+    taken = jnp.zeros_like(m, dtype=bool)
+    for a in absd:
+        hit = (a <= m) & ~taken
+        sel.append(hit)
+        taken = taken | hit
+
+    def pick(vals):
+        acc = vals[0]
+        for s in range(1, S):
+            acc = jnp.where(sel[s], vals[s], acc)
+        return acc
+
+    cpx = pick([c["cpx"] for c in cand])
+    cpy = pick([c["cpy"] for c in cand])
+    chosen_ssd = pick([c["ssd"] for c in cand])
+    chosen_is_vertex = pick([c["is_vertex"] for c in cand])
+    p1x = pick([jnp.full_like(qx, c["p1"][0]) for c in cand])
+    p1y = pick([jnp.full_like(qx, c["p1"][1]) for c in cand])
+    unx = pick([jnp.full_like(qx, c["unit"][0]) for c in cand])
+    uny = pick([jnp.full_like(qx, c["unit"][1]) for c in cand])
 
     # Endpoint of the whole polyline? (polyline2.cpp is_same_point tolerance)
-    d_first = jnp.sum((chosen_cp - points[0]) ** 2)
-    d_last = jnp.sum((chosen_cp - points[-1]) ** 2)
+    fx, fy = float(pts[0][0]), float(pts[0][1])
+    lx, ly = float(pts[-1][0]), float(pts[-1][1])
+    d_first = (cpx - fx) ** 2 + (cpy - fy) ** 2
+    d_last = (cpx - lx) ** 2 + (cpy - ly) ** 2
     is_endpoint = (d_first < SMALL_NUMBER) | (d_last < SMALL_NUMBER)
 
     return ClosestPointResult(
-        point=chosen_cp,
+        point=jnp.stack([cpx, cpy]),
         signed_sq_distance=chosen_ssd,
         is_vertex=chosen_is_vertex,
         is_endpoint=is_endpoint,
-        segment_start=chosen_p1,
-        unit_direction=chosen_unit,
+        segment_start=jnp.stack([p1x, p1y]),
+        unit_direction=jnp.stack([unx, uny]),
     )
 
 

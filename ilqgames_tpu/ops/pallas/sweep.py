@@ -1,0 +1,336 @@
+"""Forward rollout and parallel-linesearch merit sweep as Pallas kernels.
+
+Replicates, in-kernel, the two horizon scans of the iterative solver:
+  * `dyn_base.rollout` — ILQSolver::CurrentOperatingPoint
+    (reference src/ilq_solver.cpp:174-206);
+  * the fused merit sweep of `solver/ilq.py:tranche_merits` — the parallel
+    form of the reference's backtracking linesearch + gradient-only merit
+    (src/ilq_solver.cpp:289-435).
+
+One kernel template serves both: a rollout is a sweep with one candidate,
+no merit accumulation, and trajectory emission on. Candidate stepsizes
+ride the sublane axis next to the state ([C, x, B] slabs); the batch
+stays in lanes. Dynamics and cost-gradient code is NOT reimplemented —
+the per-instance `dyn.ode` / `stage_gradients_core` functions are
+double-vmapped (candidates x lanes) inside the kernel, so semantics match
+the scan path by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqgames_tpu.costs import player_cost as pcost
+from ilqgames_tpu.dynamics import base as dyn_base
+from ilqgames_tpu.ops.pallas.layout import bm, mb, pad_batch
+from ilqgames_tpu.types import GameSpec, OperatingPoint, Strategy
+
+
+def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
+                 nC: int, compute_merit: bool, emit_traj: bool):
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    Pu = P * u
+    dt = spec.dt
+    # Concrete numpy (spec.u_mask() builds a traced jnp array under jit).
+    u_mask_flat = np.zeros((Pu,), np.float32)
+    for i, d in enumerate(spec.udims):
+        u_mask_flat[i * u:i * u + d] = 1.0
+
+    if compute_merit:
+        n_sc = [len(pc.state_constraints) for pc in player_costs]
+        n_cc = [len(pc.control_constraints) for pc in player_costs]
+        sc_off = np.cumsum([0] + n_sc)
+        cc_off = np.cumsum([0] + n_cc)
+
+        def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
+            """Double-vmapped stage gradients: candidates x lanes."""
+            def core(tt, xx, uu, ls, lc, m):
+                return pcost.stage_gradients_core(
+                    player_costs, spec, ls, lc, m, tt, xx, uu
+                )
+
+            inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
+                             out_axes=-1)
+            outer = jax.vmap(inner, in_axes=(None, 0, 0, None, None, None),
+                             out_axes=0)
+            return outer(t, x_cb, us_cb, lamS, lamC, mu)
+
+    def integ_cb(t, x_cb, us_cb):
+        def one(tt, xx, uu):
+            return dyn_base.integrate(dyn, tt, dt, xx, uu)
+
+        inner = jax.vmap(one, in_axes=(0, -1, -1), out_axes=-1)
+        outer = jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)
+        return outer(t, x_cb, us_cb)
+
+    def kernel(*refs):
+        it = iter(refs)
+        xs_ref = next(it)
+        us_ref = next(it)
+        Ps_ref = next(it)
+        al_ref = next(it)
+        gate_ref = next(it) if compute_merit else None
+        lamS_ref = next(it) if (compute_merit and nS > 0) else None
+        lamC_ref = next(it) if (compute_merit and nC > 0) else None
+        mu_ref = next(it) if compute_merit else None
+        t0_ref = next(it)
+        scal_ref = next(it)
+        x0_ref = next(it)
+        merit_ref = next(it) if compute_merit else None
+        xso_ref = next(it) if emit_traj else None
+        uso_ref = next(it) if emit_traj else None
+        xcur = next(it)  # scratch [C, x, Bb]
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            xcur[...] = jnp.broadcast_to(
+                x0_ref[...][None], (C,) + x0_ref.shape
+            )
+            if compute_merit:
+                merit_ref[...] = jnp.zeros_like(merit_ref)
+
+        x_c = xcur[...]                       # [C, x, B]
+        x_ref_k = xs_ref[0]                   # [x, B]
+        u_ref_k = us_ref[0]                   # [Pu, B]
+        P_k = Ps_ref[0]                       # [Pu, x, B]
+        a_k = al_ref[0]                       # [Pu, B]
+        scal = scal_ref[...]                  # [C, B]
+        t = t0_ref[0] + k.astype(jnp.float32) * dt  # [B]
+
+        delta = x_c - x_ref_k[None]           # [C, x, B]
+        us_rows = []
+        for af in range(Pu):
+            acc = P_k[af, 0][None, :] * delta[:, 0]
+            for xx in range(1, x):
+                acc = acc + P_k[af, xx][None, :] * delta[:, xx]
+            row = (u_ref_k[af][None, :] - acc - scal * a_k[af][None, :])
+            us_rows.append(row * float(u_mask_flat[af]))
+        us_flat = jnp.stack(us_rows, axis=1)  # [C, Pu, B]
+        us_cb = us_flat.reshape(C, P, u, us_flat.shape[-1])
+
+        if compute_merit:
+            lamS = tuple(
+                lamS_ref[0, sc_off[i]:sc_off[i + 1]] for i in range(P)
+            ) if nS > 0 else tuple(
+                jnp.zeros((0, x_c.shape[-1]), jnp.float32) for _ in range(P)
+            )
+            lamC = tuple(
+                lamC_ref[0, cc_off[i]:cc_off[i + 1]] for i in range(P)
+            ) if nC > 0 else tuple(
+                jnp.zeros((0, x_c.shape[-1]), jnp.float32) for _ in range(P)
+            )
+            mu = mu_ref[0]                    # [B]
+            l_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
+            # l_cb [C, P, xd, B]; gate [P, B]
+            l_g = l_cb * gate_ref[0][None, :, None, :]
+            state_term = jnp.sum(l_g * l_g, axis=(1, 2))      # [C, B]
+            ctrl_term = jnp.sum(r_cb * r_cb, axis=(1, 2))
+            inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
+            merit_ref[...] = merit_ref[...] + inc
+
+        if emit_traj:
+            xso_ref[0] = x_c.reshape(C * x, x_c.shape[-1])
+            uso_ref[0] = us_flat.reshape(C * Pu, us_flat.shape[-1])
+
+        xcur[...] = integ_cb(t, x_c, us_cb)
+
+    return kernel
+
+
+def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
+         al_lamS, al_lamC, mu, gate, compute_merit, emit_traj,
+         batch_block, interpret):
+    """Shared driver. All array args batch-minor and lane-padded."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    Pu = P * u
+    C = scal_cb.shape[0]
+    B = x0.shape[-1]
+    Bb = batch_block
+    nb = B // Bb
+    nS = al_lamS.shape[1] if (compute_merit and al_lamS is not None) else 0
+    nC = al_lamC.shape[1] if (compute_merit and al_lamC is not None) else 0
+
+    fwd4 = lambda b, s: (s, 0, 0, b)
+    fwd3 = lambda b, s: (s, 0, b)
+    res = lambda b, s: (0, b)
+
+    in_specs = [
+        pl.BlockSpec((1, x, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pu, x, Bb), fwd4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+    ]
+    operands = [last_op["xs"], last_op["us"], strategy["Ps"],
+                strategy["alphas"]]
+    if compute_merit:
+        in_specs.append(pl.BlockSpec((1, P, Bb), fwd3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(gate)
+        if nS > 0:
+            in_specs.append(pl.BlockSpec((1, nS, Bb), fwd3,
+                                         memory_space=pltpu.VMEM))
+            operands.append(al_lamS)
+        if nC > 0:
+            in_specs.append(pl.BlockSpec((1, nC, Bb), fwd3,
+                                         memory_space=pltpu.VMEM))
+            operands.append(al_lamC)
+        in_specs.append(pl.BlockSpec((1, Bb), res,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mu)
+    in_specs.append(pl.BlockSpec((1, Bb), res, memory_space=pltpu.VMEM))
+    operands.append(last_op["t0"])
+    in_specs.append(pl.BlockSpec((C, Bb), res, memory_space=pltpu.VMEM))
+    operands.append(scal_cb)
+    in_specs.append(pl.BlockSpec((x, Bb), res, memory_space=pltpu.VMEM))
+    operands.append(x0)
+
+    out_specs = []
+    out_shape = []
+    if compute_merit:
+        out_specs.append(pl.BlockSpec((C, Bb), res,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((C, B), jnp.float32))
+    if emit_traj:
+        out_specs.append(pl.BlockSpec((1, C * x, Bb), fwd3,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, C * x, B), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, C * Pu, Bb), fwd3,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, C * Pu, B), jnp.float32))
+
+    kern = _make_kernel(dyn, player_costs, spec, C, nS, nC,
+                        compute_merit, emit_traj)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((C, x, Bb), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    return outs
+
+
+def _prep_common(spec, x0, last_op, strategy, Bb):
+    """Batch-major containers -> padded batch-minor operand dicts."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    Pu = P * u
+    op = {
+        "xs": pad_batch(bm(last_op.xs), Bb),                       # [N,x,B]
+        "us": pad_batch(bm(last_op.us).reshape(N, Pu, -1), Bb),    # [N,Pu,B]
+        "t0": pad_batch(bm(last_op.t0)[None], Bb),                 # [1,B]
+    }
+    st = {
+        "Ps": pad_batch(bm(strategy.Ps).reshape(N, Pu, x, -1), Bb),
+        "alphas": pad_batch(bm(strategy.alphas).reshape(N, Pu, -1), Bb),
+    }
+    x0m = pad_batch(bm(x0), Bb)                                    # [x,B]
+    return op, st, x0m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dyn", "spec", "batch_block", "interpret"),
+)
+def rollout_pallas(
+    dyn,
+    spec: GameSpec,
+    x0: jnp.ndarray,          # [Bt, x]
+    last_op: OperatingPoint,  # batch-major
+    strategy: Strategy,       # batch-major
+    scal: jnp.ndarray = None,  # [Bt] per-lane alpha scaling (None -> 1)
+    batch_block: int = 128,
+    interpret: bool = False,
+) -> OperatingPoint:
+    """Batched rollout under affine strategies (one in-kernel horizon sweep).
+
+    With `scal` given, rolls out `strategy.scale_alphas(scal)` per lane —
+    the merged "re-roll the selected linesearch candidate" step."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    u = spec.umax
+    x = spec.xdim
+    Bt = x0.shape[0]
+    op, st, x0m = _prep_common(spec, x0, last_op, strategy, batch_block)
+    if scal is None:
+        scal_cb = jnp.ones((1, op["xs"].shape[-1]), jnp.float32)
+    else:
+        scal_cb = pad_batch(bm(scal)[None], batch_block)           # [1,B]
+
+    xs_r, us_r = _run(
+        dyn, None, spec, x0m, op, st, scal_cb, None, None, None, None,
+        compute_merit=False, emit_traj=True,
+        batch_block=batch_block, interpret=interpret,
+    )
+    xs = mb(xs_r, Bt)                       # [Bt, N, x]
+    us = mb(us_r, Bt).reshape(Bt, N, P, u)
+    return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dyn", "player_costs", "spec", "batch_block",
+                     "interpret"),
+)
+def sweep_merits_pallas(
+    dyn,
+    player_costs,
+    spec: GameSpec,
+    x0: jnp.ndarray,          # [Bt, x]
+    last_op: OperatingPoint,  # batch-major
+    strategy: Strategy,       # batch-major (unscaled LQ strategy)
+    scalings: jnp.ndarray,    # [C] candidate alpha scalings
+    al_state: pcost.ALState,  # batched (leading Bt)
+    extreme_gate: jnp.ndarray,  # [Bt, N, P]
+    batch_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
+    gated stage gradients along each candidate's rollout)."""
+    N = spec.num_time_steps
+    Bt = x0.shape[0]
+    Bb = batch_block
+    op, st, x0m = _prep_common(spec, x0, last_op, strategy, Bb)
+    B = op["xs"].shape[-1]
+    C = scalings.shape[0]
+    scal_cb = jnp.broadcast_to(scalings[:, None], (C, B))
+
+    nS_list = [lams.shape[1] for lams in al_state.state_lambdas]
+    nC_list = [lams.shape[1] for lams in al_state.control_lambdas]
+    lamS = None
+    if sum(nS_list) > 0:
+        # [Bt, nS, N] -> [N, nS, B]
+        lamS = pad_batch(
+            bm(jnp.concatenate(al_state.state_lambdas, axis=1)
+               ).transpose(1, 0, 2), Bb)
+    lamC = None
+    if sum(nC_list) > 0:
+        lamC = pad_batch(
+            bm(jnp.concatenate(al_state.control_lambdas, axis=1)
+               ).transpose(1, 0, 2), Bb)
+    mu = pad_batch(bm(al_state.mu)[None], Bb)                      # [1,B]
+    gate = pad_batch(bm(extreme_gate), Bb)                         # [N,P,B]
+
+    (merits,) = _run(
+        dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC, mu,
+        gate, compute_merit=True, emit_traj=False,
+        batch_block=Bb, interpret=interpret,
+    )
+    return 0.5 * mb(merits, Bt)             # [Bt, C]

@@ -1,0 +1,365 @@
+"""Batch-level fused AL+iLQ solver driving the Pallas kernels.
+
+This is the production TPU path. It mirrors `solver/fused.py`'s flat
+per-lane state machine EXACTLY (same accept rules, merit carryover, AL
+bookkeeping — reference src/ilq_solver.cpp:123-165 +
+src/augmented_lagrangian_solver.cpp:108-178) but operates on whole
+batches: the horizon recursions (LQ backward/forward, rollout, linesearch
+sweep) run as Pallas kernels over the full batch instead of vmapped
+`lax.scan`s, and only the embarrassingly-parallel stages (linearize,
+quadraticize, cost totals) stay as vmapped XLA.
+
+Why a separate module instead of a flag inside fused.py: the kernels are
+batch-level functions (batch on the lane axis), so the control flow can't
+sit under `jax.vmap`. The split is held honest by
+tests/test_batched_pallas.py, which pins this machine against the vmapped
+fused machine trip-by-trip (decisions exactly equal, arrays at float
+tolerance) on CPU via interpret mode.
+
+Feedback-LQ only: the open-loop kernel has no Pallas port yet; open-loop
+problems (dubins_origin) use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ilqgames_tpu.costs import player_cost as pcost
+from ilqgames_tpu.dynamics import base as dyn_base
+from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
+from ilqgames_tpu.ops.pallas.sweep import rollout_pallas, sweep_merits_pallas
+from ilqgames_tpu.solver import ilq
+from ilqgames_tpu.solver.al import ALResult, constraint_violations, \
+    max_constraint_violation
+from ilqgames_tpu.solver.fused import _FusedCarry
+from ilqgames_tpu.solver.params import SolverParams
+from ilqgames_tpu.types import GameSpec, OperatingPoint, Strategy
+
+
+def _bwhere(mask, a, b):
+    """Per-lane select over pytrees with leading batch axis."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+def _totals_b(player_costs, spec, op):
+    return jax.vmap(lambda o: pcost.total_costs(player_costs, spec, o))(op)
+
+
+def _quad_b(player_costs, spec, op, al, extreme_ks):
+    return jax.vmap(
+        lambda o, a, ek: pcost.quadraticize(player_costs, spec, o, a, ek)
+    )(op, al, extreme_ks)
+
+
+def _extreme_gate_b(player_costs, spec, extreme_ks):
+    """[B, N, P] gate: 1 everywhere for additive players, one-hot at the
+    extreme knot for extremal structures (src/ilq_solver.cpp:483-487)."""
+    Bt = extreme_ks.shape[0]
+    N = spec.num_time_steps
+    P = spec.num_players
+    ks = jnp.arange(N)
+    gate = jnp.ones((Bt, N, P), jnp.float32)
+    for i, pc in enumerate(player_costs):
+        if pc.structure != pcost.STRUCTURE_SUM:
+            gate = gate.at[:, :, i].set(
+                (ks[None, :] == extreme_ks[:, i][:, None]).astype(jnp.float32)
+            )
+    return gate
+
+
+def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
+                           *, batch_block=128, interpret=False):
+    """ONE iLQ iteration for a whole batch (the batch-level twin of
+    ilq.iteration_step; reference src/ilq_solver.cpp:123-165)."""
+    if params.open_loop:
+        raise ValueError("Pallas batched path supports feedback LQ only")
+    Bt = x0.shape[0]
+
+    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+    lqsol = solve_lq_feedback_pallas(
+        spec, lin, c.quad, x0 - c.op.xs[:, 0],
+        adaptive_regularization=params.adaptive_regularization,
+        batch_block=batch_block, interpret=interpret,
+    )
+
+    expected_decrease = jax.vmap(
+        lambda q, a, d: ilq._expected_decrease(spec, q, a, d)
+    )(c.quad, lqsol.strategy.alphas, lqsol.delta_xs)
+    last_op = c.op
+
+    if not params.linesearch:
+        scal = jnp.full((Bt,), params.initial_alpha_scaling, jnp.float32)
+        trial_op = rollout_pallas(
+            dyn, spec, x0, last_op, lqsol.strategy, scal=scal,
+            batch_block=batch_block, interpret=interpret,
+        )
+        totals, extreme_ks = _totals_b(player_costs, spec, trial_op)
+        quad = _quad_b(player_costs, spec, trial_op, al_state, extreme_ks)
+        scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
+        return c.replace(
+            op=trial_op, strategy=scaled, quad=quad, extreme_ks=extreme_ks,
+            iteration=c.iteration + 1,
+        )
+
+    n_cand = params.max_backtracking_steps
+    scalings = params.initial_alpha_scaling * (
+        params.geometric_alpha_scaling
+        ** jnp.arange(n_cand, dtype=jnp.float32)
+    )
+    gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
+
+    chunk = min(params.linesearch_chunk, n_cand)
+    n_tranche = -(-n_cand // chunk)
+    pad = n_tranche * chunk - n_cand
+    scal_pad = jnp.concatenate(
+        [scalings, jnp.full((pad,), scalings[-1], jnp.float32)]
+    ).reshape(n_tranche, chunk)
+    valid = (jnp.arange(n_tranche * chunk) < n_cand).reshape(
+        n_tranche, chunk
+    )
+
+    def tr_cond(tc):
+        t_idx, found, _, _ = tc
+        return (t_idx < n_tranche) & jnp.any(~found)
+
+    def tr_body(tc):
+        t_idx, found, scal_sel, merit_sel = tc
+        scals = scal_pad[t_idx]
+        merits_t = sweep_merits_pallas(
+            dyn, player_costs, spec, x0, last_op, lqsol.strategy, scals,
+            al_state, gate, batch_block=batch_block, interpret=interpret,
+        )  # [B, chunk]
+        ok = (
+            (c.last_merit[:, None] - merits_t)
+            >= params.expected_decrease_fraction * scals[None, :]
+            * expected_decrease[:, None]
+        ) & valid[t_idx][None, :]
+        found_t = jnp.any(ok, axis=1)
+        local = jnp.argmax(ok, axis=1)
+        newly = ~found & found_t
+        scal_sel = jnp.where(newly, scals[local], scal_sel)
+        merit_sel = jnp.where(
+            newly, jnp.take_along_axis(merits_t, local[:, None], 1)[:, 0],
+            merit_sel,
+        )
+        return (t_idx + 1, found | found_t, scal_sel, merit_sel)
+
+    _, passed, scal_sel, merit_sel = jax.lax.while_loop(
+        tr_cond, tr_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((Bt,), bool),
+         jnp.full((Bt,), scalings[0]), c.last_merit),
+    )
+
+    strategy_sel = lqsol.strategy.replace(
+        alphas=lqsol.strategy.alphas * scal_sel[:, None, None, None]
+    )
+    op_sel = rollout_pallas(
+        dyn, spec, x0, last_op, lqsol.strategy, scal=scal_sel,
+        batch_block=batch_block, interpret=interpret,
+    )
+    quad_sel = _quad_b(player_costs, spec, op_sel, al_state, c.extreme_ks)
+
+    failed = ~passed
+    converged = passed & (merit_sel <= c.last_merit) & (
+        jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
+    )
+    totals, extreme_ks = _totals_b(player_costs, spec, op_sel)
+    return ilq._SolveCarry(
+        op=_bwhere(passed, op_sel, c.op),
+        strategy=_bwhere(passed, strategy_sel, c.strategy),
+        quad=_bwhere(passed, quad_sel, c.quad),
+        extreme_ks=_bwhere(passed, extreme_ks, c.extreme_ks),
+        last_merit=jnp.where(passed, merit_sel, c.last_merit),
+        iteration=c.iteration + 1,
+        converged=converged,
+        failed=failed,
+    )
+
+
+def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
+                        last_merit, *, batch_block, interpret):
+    """Batched ILQSolver::Solve initialization (src/ilq_solver.cpp:82-121)."""
+    Bt = x0.shape[0]
+    last_op = op.replace(xs=op.xs.at[:, 0].set(x0))
+    current_op = rollout_pallas(
+        dyn, spec, x0, last_op, strategy,
+        batch_block=batch_block, interpret=interpret,
+    )
+    _, extreme_ks = _totals_b(player_costs, spec, current_op)
+    quad = _quad_b(player_costs, spec, current_op, al, extreme_ks)
+    zi = jnp.zeros((Bt,), jnp.int32)
+    zb = jnp.zeros((Bt,), bool)
+    return ilq._SolveCarry(
+        op=current_op, strategy=strategy, quad=quad, extreme_ks=extreme_ks,
+        last_merit=last_merit, iteration=zi, converged=zb, failed=zb,
+    )
+
+
+def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
+                  interpret):
+    """One trip of the flat machine, batch-level (twin of fused._trip)."""
+    c2 = iteration_step_batched(
+        dyn, player_costs, spec, params, x0, fc.al, fc.c,
+        batch_block=batch_block, interpret=interpret,
+    )
+    inner_iters = fc.inner_iters + 1
+    cum_iters = fc.cum_iters + 1
+    inner_budget = params.unconstrained_solver_max_iters
+    inner_end = c2.converged | c2.failed | (inner_iters >= inner_budget)
+    inner_ok = ~c2.failed
+
+    al_pre = fc.al
+    down = lambda lam: lam * params.geometric_lambda_downscaling
+    al_failed = al_pre.replace(
+        state_lambdas=tuple(down(l) for l in al_pre.state_lambdas),
+        control_lambdas=tuple(down(l) for l in al_pre.control_lambdas),
+        mu=al_pre.mu * params.geometric_mu_downscaling,
+    )
+    al_base = _bwhere(c2.failed, al_failed, al_pre)
+
+    al_inc, violation_new = jax.vmap(
+        lambda o, a: constraint_violations(player_costs, spec, o, a)
+    )(c2.op, al_base)
+    al_inc = al_inc.replace(mu=al_inc.mu * params.geometric_mu_scaling)
+
+    continuing = (cum_iters < params.max_solver_iters) & (
+        fc.violation > params.constraint_error_tolerance
+    )
+    done_now = inner_end & ~continuing
+
+    adv = inner_end & inner_ok
+    warm_op = _bwhere(adv, c2.op, fc.warm_op)
+    warm_strategy = _bwhere(adv, c2.strategy, fc.warm_strategy)
+
+    c3 = _init_inner_batched(
+        dyn, player_costs, spec, x0, warm_op, warm_strategy, al_inc,
+        c2.last_merit, batch_block=batch_block, interpret=interpret,
+    )
+
+    reinit = inner_end & continuing
+    c_next = _bwhere(reinit, c3, c2)
+    al_next = _bwhere(reinit, al_inc, _bwhere(c2.failed, al_failed, fc.al))
+
+    return _FusedCarry(
+        c=c_next,
+        al=al_next,
+        warm_op=warm_op,
+        warm_strategy=warm_strategy,
+        inner_iters=jnp.where(reinit, 0, inner_iters),
+        cum_iters=cum_iters,
+        violation=jnp.where(reinit, violation_new, fc.violation),
+        success=fc.success & jnp.where(inner_end, inner_ok, True),
+        done=fc.done | done_now,
+    )
+
+
+def make_host_batched_solver(dyn, player_costs, spec, params,
+                             warm_op=None, warm_strategy=None,
+                             trips_per_call: int = 25,
+                             batch_block: int = 128,
+                             interpret: bool = False):
+    """Batched Pallas solve with bounded device programs (twin of
+    fused.make_host_batched_solver): each dispatch runs `trips_per_call`
+    masked trips for the whole batch; the host loops until all lanes are
+    done. Returns fn(x0 [B, xdim]) -> batched ALResult."""
+    constrained = pcost.is_constrained(player_costs)
+    if warm_op is None:
+        warm_op = OperatingPoint.zeros(spec)
+    if warm_strategy is None:
+        warm_strategy = Strategy.zeros(spec)
+
+    def init(x0_b):
+        Bt = x0_b.shape[0]
+        al0 = jax.vmap(
+            lambda _: pcost.ALState.init(player_costs, spec)
+        )(jnp.arange(Bt))
+        wop = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), warm_op
+        )
+        wst = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape),
+            warm_strategy,
+        )
+        c0 = _init_inner_batched(
+            dyn, player_costs, spec, x0_b, wop, wst, al0,
+            jnp.full((Bt,), jnp.inf, jnp.float32),
+            batch_block=batch_block, interpret=interpret,
+        )
+        return _FusedCarry(
+            c=c0, al=al0, warm_op=c0.op, warm_strategy=c0.strategy,
+            inner_iters=jnp.zeros((Bt,), jnp.int32),
+            cum_iters=jnp.zeros((Bt,), jnp.int32),
+            violation=jnp.full((Bt,), jnp.inf, jnp.float32),
+            success=jnp.ones((Bt,), bool),
+            done=jnp.zeros((Bt,), bool),
+        )
+
+    if constrained:
+        def trip(x0_b, fc):
+            fc2 = _trip_batched(
+                dyn, player_costs, spec, params, x0_b, fc,
+                batch_block=batch_block, interpret=interpret,
+            )
+            return _bwhere(fc.done, fc, fc2)
+    else:
+        # Unconstrained: the trip is a bare iLQ iteration with the full
+        # budget (fused.solve delegates to ilq.solve in this case).
+        def trip(x0_b, fc):
+            c2 = iteration_step_batched(
+                dyn, player_costs, spec, params, x0_b, fc.al, fc.c,
+                batch_block=batch_block, interpret=interpret,
+            )
+            cum = fc.cum_iters + 1
+            done_now = c2.converged | c2.failed | (
+                cum >= params.max_solver_iters
+            )
+            fc2 = fc.replace(
+                c=c2, cum_iters=cum,
+                success=fc.success & ~c2.failed,
+                done=fc.done | done_now,
+            )
+            return _bwhere(fc.done, fc, fc2)
+
+    def steps(x0_b, fc):
+        def body(fc, _):
+            return trip(x0_b, fc), None
+
+        fc, _ = jax.lax.scan(body, fc, None, length=trips_per_call)
+        return fc
+
+    init_j = jax.jit(init)
+    steps_j = jax.jit(steps)
+    all_done = jax.jit(lambda fc: jnp.all(fc.done))
+
+    def finalize(fc):
+        fv = jax.vmap(
+            lambda o: max_constraint_violation(player_costs, spec, o)
+        )(fc.c.op)
+        totals, _ = _totals_b(player_costs, spec, fc.c.op)
+        if constrained:
+            conv = fc.success & (fv <= params.constraint_error_tolerance)
+        else:
+            conv = fc.c.converged & ~fc.c.failed
+        return ALResult(
+            op=fc.c.op, strategy=fc.c.strategy, total_costs=totals,
+            converged=conv, max_violation=fv,
+            cumulative_iterations=fc.cum_iters, al_state=fc.al,
+        )
+
+    finalize_j = jax.jit(finalize)
+
+    def run(x0_batch):
+        fc = init_j(x0_batch)
+        while not bool(all_done(fc)):
+            fc = steps_j(x0_batch, fc)
+        return finalize_j(fc)
+
+    return run

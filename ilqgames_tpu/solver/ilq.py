@@ -89,6 +89,54 @@ def _expected_decrease(
 
 
 
+def sweep_merits_scan(
+    dyn, player_costs, spec, x0, last_op, strategy, scals, al_state,
+    extreme_gate,
+):
+    """One tranche of the fused merit sweep: one scan over time advances
+    every candidate stepsize in `scals` ([chunk]) and accumulates its
+    gradient-only merit (the parallel form of the reference's sequential
+    Armijo backtracking, src/ilq_solver.cpp:289-435). Module-level so the
+    Pallas sweep kernel (ops/pallas/sweep.py) can be parity-tested and the
+    batched solver can reuse it. Returns merits [chunk]."""
+    u_mask = spec.u_mask()
+    ks_all = jnp.arange(spec.num_time_steps)
+    chunk = scals.shape[0]
+
+    def sweep_step(carry, inputs):
+        xs_c, merit_c = carry  # [chunk, xdim], [chunk]
+        k, x_ref, u_ref, P_ref, alpha = inputs
+
+        def one(x_k, s, m):
+            delta = x_k - x_ref
+            us = (
+                u_ref
+                - jnp.einsum("pux,x->pu", P_ref, delta)
+                - s * alpha
+            ) * u_mask
+            t = last_op.t0 + k.astype(jnp.float32) * spec.dt
+            l_k, r_k = pcost.stage_gradients(
+                player_costs, spec, al_state, k, t, x_k, us
+            )
+            l_k = l_k * extreme_gate[k][:, None]
+            state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
+            m_new = m + jnp.sum(r_k * r_k) + state_term
+            x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
+            return x_next, m_new
+
+        xs_c, merit_c = jax.vmap(one)(xs_c, scals, merit_c)
+        return (xs_c, merit_c), None
+
+    xs0 = jnp.tile(x0[None], (chunk, 1))
+    merit0 = jnp.zeros((chunk,), jnp.float32)
+    (_, merit_sums), _ = jax.lax.scan(
+        sweep_step,
+        (xs0, merit0),
+        (ks_all, last_op.xs, last_op.us, strategy.Ps, strategy.alphas),
+    )
+    return 0.5 * merit_sums
+
+
 @struct.dataclass
 class _SolveCarry:
     op: OperatingPoint
@@ -179,40 +227,10 @@ def iteration_step(dyn, player_costs, spec, params, x0, al_state, c):
     )
 
     def tranche_merits(scals):
-        def sweep_step(carry, inputs):
-            xs_c, merit_c = carry  # [chunk, xdim], [chunk]
-            k, x_ref, u_ref, P_ref, alpha = inputs
-
-            def one(x_k, s, m):
-                delta = x_k - x_ref
-                us = (
-                    u_ref
-                    - jnp.einsum("pux,x->pu", P_ref, delta)
-                    - s * alpha
-                ) * u_mask
-                t = last_op.t0 + k.astype(jnp.float32) * spec.dt
-                l_k, r_k = pcost.stage_gradients(
-                    player_costs, spec, al_state, k, t, x_k, us
-                )
-                l_k = l_k * extreme_gate[k][:, None]
-                state_term = jnp.where(k > 0, jnp.sum(l_k * l_k), 0.0)
-                m_new = m + jnp.sum(r_k * r_k) + state_term
-                x_next = dyn_base.integrate(dyn, t, spec.dt, x_k, us)
-                return x_next, m_new
-
-            xs_c, merit_c = jax.vmap(one)(xs_c, scals, merit_c)
-            return (xs_c, merit_c), None
-
-        xs0 = jnp.tile(x0[None], (chunk, 1))
-        merit0 = jnp.zeros((chunk,), jnp.float32)
-        (_, merit_sums), _ = jax.lax.scan(
-            sweep_step,
-            (xs0, merit0),
-            (ks_all, last_op.xs, last_op.us,
-             lqsol.strategy.Ps, lqsol.strategy.alphas),
-            
+        return sweep_merits_scan(
+            dyn, player_costs, spec, x0, last_op, lqsol.strategy, scals,
+            al_state, extreme_gate,
         )
-        return 0.5 * merit_sums
 
     def tr_cond(tc):
         t_idx, found, _, _ = tc

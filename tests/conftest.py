@@ -7,7 +7,10 @@ registers itself regardless; jax.config.update("jax_platforms", ...) wins.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the ambient environment sets JAX_PLATFORMS=axon (the TPU
+# tunnel), and merely discovering that plugin can ping the device — which
+# faults any concurrently running TPU job (only one process may hold it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,161 @@
+"""Parity: batch-level Pallas solver vs the vmapped fused machine.
+
+The batched machine (solver/batched.py) must make the SAME decisions
+(linesearch accepts, convergence, AL boundaries) as fused._trip under
+vmap, with arrays at float tolerance — kernels change op order (LU vs
+linalg.solve, slab-sum order), not semantics. Runs on CPU in interpret
+mode with a shortened horizon.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqgames_tpu.costs import player_cost as pcost
+from ilqgames_tpu.dynamics import base as dyn_base
+from ilqgames_tpu.examples.three_player_intersection import make_problem
+from ilqgames_tpu.solver import batched, fused, ilq
+from ilqgames_tpu.solver.params import SolverParams
+from ilqgames_tpu.types import OperatingPoint, Strategy
+
+B = 4
+N = 11
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem = make_problem(num_time_steps=N)
+    params = SolverParams(
+        max_solver_iters=30,
+        unconstrained_solver_max_iters=5,
+        max_backtracking_steps=20,
+        initial_alpha_scaling=0.1,
+        convergence_tolerance=1.0,
+        expected_decrease_fraction=0.001,
+        linesearch_chunk=4,
+    )
+    rng = np.random.RandomState(0)
+    x0b = jnp.asarray(
+        np.tile(np.asarray(problem.x0)[None], (B, 1))
+        + 0.1 * rng.randn(B, problem.spec.xdim).astype(np.float32)
+    )
+    return problem, params, x0b
+
+
+def _init_ref(problem, x0b):
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+    warm_op = OperatingPoint.zeros(spec)
+    warm_strategy = Strategy.zeros(spec)
+    al0 = pcost.ALState.init(costs, spec)
+
+    def init_one(x0):
+        last_op = warm_op.replace(xs=warm_op.xs.at[0].set(x0))
+        op = dyn_base.rollout(dyn, spec, x0, last_op, warm_strategy)
+        _, ek = pcost.total_costs(costs, spec, op)
+        quad = pcost.quadraticize(costs, spec, op, al0, ek)
+        c0 = ilq._SolveCarry(
+            op=op, strategy=warm_strategy, quad=quad, extreme_ks=ek,
+            last_merit=jnp.asarray(jnp.inf, jnp.float32),
+            iteration=jnp.asarray(0, jnp.int32),
+            converged=jnp.asarray(False), failed=jnp.asarray(False),
+        )
+        return fused._FusedCarry(
+            c=c0, al=al0, warm_op=c0.op, warm_strategy=c0.strategy,
+            inner_iters=jnp.asarray(0, jnp.int32),
+            cum_iters=jnp.asarray(0, jnp.int32),
+            violation=jnp.asarray(jnp.inf, jnp.float32),
+            success=jnp.asarray(True), done=jnp.asarray(False),
+        )
+
+    return jax.vmap(init_one)(x0b)
+
+
+def test_trip_parity(setup):
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+
+    fc_ref = _init_ref(problem, x0b)
+    # Batched init must agree with the vmapped init.
+    wop = OperatingPoint.zeros(spec)
+    wst = Strategy.zeros(spec)
+    Bt = B
+    al0 = jax.vmap(lambda _: pcost.ALState.init(costs, spec))(jnp.arange(Bt))
+    wop_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), wop
+    )
+    wst_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), wst
+    )
+    c0_b = batched._init_inner_batched(
+        dyn, costs, spec, x0b, wop_b, wst_b, al0,
+        jnp.full((Bt,), jnp.inf, jnp.float32), batch_block=4, interpret=True,
+    )
+    np.testing.assert_allclose(c0_b.op.xs, fc_ref.c.op.xs, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_array_equal(c0_b.extreme_ks, fc_ref.c.extreme_ks)
+
+    fc_b = fused._FusedCarry(
+        c=c0_b, al=al0, warm_op=c0_b.op, warm_strategy=c0_b.strategy,
+        inner_iters=jnp.zeros((Bt,), jnp.int32),
+        cum_iters=jnp.zeros((Bt,), jnp.int32),
+        violation=jnp.full((Bt,), jnp.inf, jnp.float32),
+        success=jnp.ones((Bt,), bool), done=jnp.zeros((Bt,), bool),
+    )
+
+    trip_ref = jax.jit(jax.vmap(
+        lambda x0, fc: fused._trip(dyn, costs, spec, params, x0, fc)
+    ))
+    for trip_idx in range(6):
+        fc_ref = trip_ref(x0b, fc_ref)
+        fc_b = batched._trip_batched(
+            dyn, costs, spec, params, x0b, fc_b, batch_block=4,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fc_b.c.failed), np.asarray(fc_ref.c.failed),
+            err_msg=f"trip {trip_idx}: linesearch accept decisions diverged",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fc_b.c.converged), np.asarray(fc_ref.c.converged),
+            err_msg=f"trip {trip_idx}: convergence flags diverged",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fc_b.done), np.asarray(fc_ref.done))
+        np.testing.assert_allclose(
+            fc_b.c.last_merit, fc_ref.c.last_merit, rtol=2e-3, atol=2e-3,
+            err_msg=f"trip {trip_idx}: merits diverged",
+        )
+        np.testing.assert_allclose(
+            fc_b.c.op.xs, fc_ref.c.op.xs, rtol=2e-3, atol=2e-3,
+            err_msg=f"trip {trip_idx}: trajectories diverged",
+        )
+        np.testing.assert_allclose(
+            fc_b.al.mu, fc_ref.al.mu, rtol=1e-6,
+            err_msg=f"trip {trip_idx}: AL mu diverged",
+        )
+
+
+def test_full_solve_parity(setup):
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+    run_ref = fused.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10
+    )
+    run_b = batched.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10, batch_block=4,
+        interpret=True,
+    )
+    res_ref = run_ref(x0b)
+    res_b = run_b(x0b)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.converged), np.asarray(res_ref.converged))
+    np.testing.assert_array_equal(
+        np.asarray(res_b.cumulative_iterations),
+        np.asarray(res_ref.cumulative_iterations))
+    np.testing.assert_allclose(
+        res_b.total_costs, res_ref.total_costs, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(res_b.op.xs, res_ref.op.xs, rtol=5e-3,
+                               atol=5e-3)
