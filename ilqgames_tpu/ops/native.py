@@ -47,6 +47,11 @@ def load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32,
             f32, f32, f32, f32, f32, f32, f32, ctypes.c_int, f32, f32, f32,
         ]
+        lib.solve_lq_open_loop.restype = ctypes.c_int
+        lib.solve_lq_open_loop.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32,
+            f32, f32, f32, f32, f32, f32, f32, f32, f32, f32,
+        ]
         _lib = lib
         return lib
 
@@ -80,3 +85,35 @@ def solve_lq_feedback_native(spec, A, Bs, Q, l, R, r, x0,
     if status != 0:
         raise RuntimeError(f"native LQ solve failed with status {status}")
     return Ps, alphas, dxs
+
+
+def solve_lq_open_loop_native(spec, A, Bs, Q, l, R, r, x0):
+    """NumPy front end mirroring ilqgames_tpu.solver.lq_open_loop
+    (Lambda recursion; reference src/lq_open_loop_solver.cpp:110-194).
+
+    Returns (alphas [N,P,umax], delta_xs [N,x], costates [N,P,x]);
+    gains are zero by the open-loop convention."""
+    lib = load()
+    N, P, xd, um = spec.num_time_steps, spec.num_players, spec.xdim, spec.umax
+
+    def as32(a):
+        return np.ascontiguousarray(np.asarray(a), np.float32)
+
+    A, Bs, Q, l, R, r, x0 = map(as32, (A, Bs, Q, l, R, r, x0))
+    udims = np.asarray(spec.udims, np.int32)
+    alphas = np.zeros((N, P, um), np.float32)
+    dxs = np.zeros((N, xd), np.float32)
+    costates = np.zeros((N, P, xd), np.float32)
+
+    ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    status = lib.solve_lq_open_loop(
+        N, P, xd, um,
+        udims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ptr(A), ptr(Bs), ptr(Q), ptr(l), ptr(R), ptr(r), ptr(x0),
+        ptr(alphas), ptr(dxs), ptr(costates),
+    )
+    if status != 0:
+        raise RuntimeError(
+            f"native open-loop LQ solve failed with status {status}"
+        )
+    return alphas, dxs, costates

@@ -313,4 +313,231 @@ int solve_lq_feedback(int N, int P, int xdim, int umax, const int* udims,
   return 0;
 }
 
+// Open-loop LQ Nash (Lambda recursion; same algorithm family as the
+// reference's src/lq_open_loop_solver.cpp:110-194, fresh implementation
+// from the math on plain C arrays). Strategies come back as affine terms
+// only (alpha = -u*, P == 0 by convention), matching
+// ilqgames_tpu.solver.lq_open_loop.
+//
+// Exported C ABI:
+//   solve_lq_open_loop(N, P, xdim, umax, udims[P],
+//                      A[N*xdim*xdim], Bs[N*P*xdim*umax],
+//                      Q[N*P*xdim*xdim], l[N*P*xdim],
+//                      R[N*P*P*umax*umax], r[N*P*P*umax],
+//                      x0[xdim],
+//                      out_alphas[N*P*umax], out_dxs[N*xdim],
+//                      out_costates[N*P*xdim]) -> 0 on success
+int solve_lq_open_loop(int N, int P, int xdim, int umax, const int* udims,
+                       const float* A, const float* Bs, const float* Q,
+                       const float* l, const float* R, const float* r,
+                       const float* x0, float* out_alphas, float* out_dxs,
+                       float* out_costates) {
+  const int ns = N - 1;
+
+  // Value terms per player at k+1: M [P, xdim, xdim], m [P, xdim].
+  std::vector<float> M(P * xdim * xdim), m(P * xdim);
+  std::memcpy(M.data(), Q + (size_t)(N - 1) * P * xdim * xdim,
+              sizeof(float) * M.size());
+  std::memcpy(m.data(), l + (size_t)(N - 1) * P * xdim,
+              sizeof(float) * m.size());
+
+  std::memset(out_alphas, 0, sizeof(float) * (size_t)N * P * umax);
+  std::memset(out_costates, 0, sizeof(float) * (size_t)N * P * xdim);
+
+  // Per-stage history for the forward pass.
+  std::vector<float> hist_wB((size_t)ns * P * umax * xdim);
+  std::vector<float> hist_wr((size_t)ns * P * umax);
+  std::vector<float> hist_Lam((size_t)ns * xdim * xdim);
+  std::vector<float> hist_inter((size_t)ns * xdim);
+  std::vector<float> hist_M((size_t)ns * P * xdim * xdim);
+  std::vector<float> hist_m((size_t)ns * P * xdim);
+
+  std::vector<float> Mnew(P * xdim * xdim), mnew(P * xdim);
+
+  for (int k = ns - 1; k >= 0; --k) {
+    const float* Ak = A + (size_t)k * xdim * xdim;
+    const float* Bk = Bs + (size_t)k * P * xdim * umax;
+    const float* Qk = Q + (size_t)k * P * xdim * xdim;
+    const float* lk = l + (size_t)k * P * xdim;
+    const float* Rk = R + (size_t)k * P * P * umax * umax;
+    const float* rk = r + (size_t)k * P * P * umax;
+
+    std::memcpy(hist_M.data() + (size_t)k * P * xdim * xdim, M.data(),
+                sizeof(float) * M.size());
+    std::memcpy(hist_m.data() + (size_t)k * P * xdim, m.data(),
+                sizeof(float) * m.size());
+
+    float* wB = hist_wB.data() + (size_t)k * P * umax * xdim;
+    float* wr = hist_wr.data() + (size_t)k * P * umax;
+    float* Lam = hist_Lam.data() + (size_t)k * xdim * xdim;
+    float* inter = hist_inter.data() + (size_t)k * xdim;
+
+    // warped_B_i = R_ii^{-1} B_i^T, warped_r_i = R_ii^{-1} r_ii
+    // (padded diagonal gets identity so the solve stays well-posed).
+    for (int i = 0; i < P; ++i) {
+      std::vector<float> Rii(umax * umax);
+      std::memcpy(Rii.data(), Rk + ((size_t)i * P + i) * umax * umax,
+                  sizeof(float) * Rii.size());
+      for (int u = udims[i]; u < umax; ++u) Rii[u * umax + u] += 1.0f;
+      const float* Bi = Bk + (size_t)i * xdim * umax;
+      // rhs = [B_i^T | r_ii] : umax x (xdim + 1)
+      std::vector<float> rhs(umax * (xdim + 1));
+      for (int u = 0; u < umax; ++u) {
+        for (int x = 0; x < xdim; ++x)
+          rhs[u * (xdim + 1) + x] = Bi[x * umax + u];
+        rhs[u * (xdim + 1) + xdim] = rk[((size_t)i * P + i) * umax + u];
+      }
+      if (!lu_solve(Rii, rhs, umax, xdim + 1)) return 1;
+      for (int u = 0; u < umax; ++u) {
+        std::memcpy(wB + ((size_t)i * umax + u) * xdim,
+                    rhs.data() + (size_t)u * (xdim + 1),
+                    sizeof(float) * xdim);
+        wr[(size_t)i * umax + u] = rhs[u * (xdim + 1) + xdim];
+      }
+    }
+
+    // Lambda = I + sum_i B_i warped_B_i M_i ;
+    // inter = -sum_i B_i (warped_B_i m_i + warped_r_i)
+    for (int x = 0; x < xdim; ++x)
+      for (int y = 0; y < xdim; ++y)
+        Lam[x * xdim + y] = (x == y) ? 1.0f : 0.0f;
+    std::memset(inter, 0, sizeof(float) * xdim);
+    for (int i = 0; i < P; ++i) {
+      const float* Bi = Bk + (size_t)i * xdim * umax;
+      const float* wBi = wB + (size_t)i * umax * xdim;
+      const float* Mi = M.data() + (size_t)i * xdim * xdim;
+      const float* mi = m.data() + (size_t)i * xdim;
+      // wBM = warped_B_i M_i : [umax, xdim]; wbm = warped_B_i m_i : [umax]
+      std::vector<float> wBM(umax * xdim);
+      std::vector<float> wbm(umax);
+      for (int u = 0; u < umax; ++u) {
+        float accm = 0.0f;
+        for (int y = 0; y < xdim; ++y) {
+          float acc = 0.0f;
+          for (int x = 0; x < xdim; ++x)
+            acc += wBi[u * xdim + x] * Mi[x * xdim + y];
+          wBM[u * xdim + y] = acc;
+        }
+        for (int x = 0; x < xdim; ++x) accm += wBi[u * xdim + x] * mi[x];
+        wbm[u] = accm;
+      }
+      for (int x = 0; x < xdim; ++x) {
+        for (int y = 0; y < xdim; ++y) {
+          float acc = 0.0f;
+          for (int u = 0; u < umax; ++u)
+            acc += Bi[x * umax + u] * wBM[u * xdim + y];
+          Lam[x * xdim + y] += acc;
+        }
+        float acc = 0.0f;
+        for (int u = 0; u < umax; ++u)
+          acc += Bi[x * umax + u] * (wbm[u] + wr[(size_t)i * umax + u]);
+        inter[x] -= acc;
+      }
+    }
+
+    // Solve Lam * [LamA | Lami] = [A | inter].
+    std::vector<float> Lcopy(Lam, Lam + xdim * xdim);
+    std::vector<float> rhs(xdim * (xdim + 1));
+    for (int x = 0; x < xdim; ++x) {
+      for (int y = 0; y < xdim; ++y)
+        rhs[x * (xdim + 1) + y] = Ak[x * xdim + y];
+      rhs[x * (xdim + 1) + xdim] = inter[x];
+    }
+    if (!lu_solve(Lcopy, rhs, xdim, xdim + 1)) return 2;
+
+    // M_i <- Q_i + A^T M_i LamA ; m_i <- l_i + A^T (m_i + M_i Lami)
+    for (int i = 0; i < P; ++i) {
+      const float* Mi = M.data() + (size_t)i * xdim * xdim;
+      const float* mi = m.data() + (size_t)i * xdim;
+      float* Mn = Mnew.data() + (size_t)i * xdim * xdim;
+      float* mn = mnew.data() + (size_t)i * xdim;
+      // MLamA = M_i * LamA ; Mlami = M_i * Lami
+      std::vector<float> MLamA(xdim * xdim), Mlami(xdim);
+      for (int x = 0; x < xdim; ++x) {
+        float accv = 0.0f;
+        for (int y = 0; y < xdim; ++y) {
+          float acc = 0.0f;
+          for (int z2 = 0; z2 < xdim; ++z2)
+            acc += Mi[x * xdim + z2] * rhs[z2 * (xdim + 1) + y];
+          MLamA[x * xdim + y] = acc;
+        }
+        for (int z2 = 0; z2 < xdim; ++z2)
+          accv += Mi[x * xdim + z2] * rhs[z2 * (xdim + 1) + xdim];
+        Mlami[x] = accv;
+      }
+      const float* Qi = Qk + (size_t)i * xdim * xdim;
+      for (int x = 0; x < xdim; ++x)
+        for (int y = 0; y < xdim; ++y) {
+          float acc = Qi[x * xdim + y];
+          for (int z2 = 0; z2 < xdim; ++z2)
+            acc += Ak[z2 * xdim + x] * MLamA[z2 * xdim + y];
+          Mn[x * xdim + y] = acc;
+        }
+      for (int y = 0; y < xdim; ++y) {
+        float acc = lk[(size_t)i * xdim + y];
+        for (int z2 = 0; z2 < xdim; ++z2)
+          acc += Ak[z2 * xdim + y] * (mi[z2] + Mlami[z2]);
+        mn[y] = acc;
+      }
+    }
+    M.swap(Mnew);
+    m.swap(mnew);
+  }
+
+  // Forward pass.
+  std::vector<float> dx(x0, x0 + xdim), dnext(xdim);
+  for (int k = 0; k < ns; ++k) {
+    std::memcpy(out_dxs + (size_t)k * xdim, dx.data(),
+                sizeof(float) * xdim);
+    const float* Ak = A + (size_t)k * xdim * xdim;
+    const float* Lam = hist_Lam.data() + (size_t)k * xdim * xdim;
+    const float* inter = hist_inter.data() + (size_t)k * xdim;
+    const float* wB = hist_wB.data() + (size_t)k * P * umax * xdim;
+    const float* wr = hist_wr.data() + (size_t)k * P * umax;
+    const float* Mk = hist_M.data() + (size_t)k * P * xdim * xdim;
+    const float* mk = hist_m.data() + (size_t)k * P * xdim;
+
+    // x_next = Lam^{-1} (A x + inter)
+    std::vector<float> Lcopy(Lam, Lam + xdim * xdim);
+    std::vector<float> rhs(xdim);
+    for (int x = 0; x < xdim; ++x) {
+      float acc = inter[x];
+      for (int y = 0; y < xdim; ++y) acc += Ak[x * xdim + y] * dx[y];
+      rhs[x] = acc;
+    }
+    if (!lu_solve(Lcopy, rhs, xdim, 1)) return 3;
+    std::memcpy(dnext.data(), rhs.data(), sizeof(float) * xdim);
+
+    // inner_i = M_i x_next + m_i ; alpha_i = wB_i inner_i + wr_i ;
+    // costate_i = A^T inner_i
+    for (int i = 0; i < P; ++i) {
+      const float* Mi = Mk + (size_t)i * xdim * xdim;
+      const float* mi = mk + (size_t)i * xdim;
+      std::vector<float> inner(xdim);
+      for (int x = 0; x < xdim; ++x) {
+        float acc = mi[x];
+        for (int y = 0; y < xdim; ++y) acc += Mi[x * xdim + y] * dnext[y];
+        inner[x] = acc;
+      }
+      float* ai = out_alphas + ((size_t)k * P + i) * umax;
+      const float* wBi = wB + (size_t)i * umax * xdim;
+      for (int u = 0; u < udims[i]; ++u) {
+        float acc = wr[(size_t)i * umax + u];
+        for (int x = 0; x < xdim; ++x) acc += wBi[u * xdim + x] * inner[x];
+        ai[u] = acc;
+      }
+      float* ci = out_costates + ((size_t)k * P + i) * xdim;
+      for (int y = 0; y < xdim; ++y) {
+        float acc = 0.0f;
+        for (int x = 0; x < xdim; ++x) acc += Ak[x * xdim + y] * inner[x];
+        ci[y] = acc;
+      }
+    }
+    dx.swap(dnext);
+  }
+  std::memcpy(out_dxs + (size_t)(N - 1) * xdim, dx.data(),
+              sizeof(float) * xdim);
+  return 0;
+}
+
 }  // extern "C"

@@ -69,3 +69,34 @@ def test_native_matches_jax(seed, adaptive):
     # Padded control entries are exactly zero in both.
     assert np.abs(Ps_n[:, 1, 1:]).max() == 0.0
     assert np.abs(np.asarray(sol.strategy.Ps)[:, 1, 1:]).max() == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_open_loop_matches_jax(seed):
+    from ilqgames_tpu.ops.native import solve_lq_open_loop_native
+    from ilqgames_tpu.solver.lq_open_loop import solve_lq_open_loop
+
+    spec, A, Bs, Q, l, R, r, x0 = random_game(seed)
+
+    alphas_n, dxs_n, costates_n = solve_lq_open_loop_native(
+        spec, A, Bs, Q, l, R, r, x0
+    )
+    sol = solve_lq_open_loop(
+        spec,
+        LinearDynamics(A=jnp.asarray(A), Bs=jnp.asarray(Bs)),
+        QuadraticCosts(Q=jnp.asarray(Q), l=jnp.asarray(l),
+                       R=jnp.asarray(R), r=jnp.asarray(r)),
+        jnp.asarray(x0),
+    )
+    np.testing.assert_allclose(
+        alphas_n, np.asarray(sol.strategy.alphas), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        dxs_n, np.asarray(sol.delta_xs), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        costates_n, np.asarray(sol.costates), rtol=5e-3, atol=5e-4
+    )
+    # Open-loop strategies carry no feedback gains; padded alphas zero.
+    assert np.abs(np.asarray(sol.strategy.Ps)).max() == 0.0
+    assert np.abs(alphas_n[:, 1, 1:]).max() == 0.0
