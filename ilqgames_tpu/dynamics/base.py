@@ -104,7 +104,10 @@ def concatenate(
     def ode(t, x, us):
         parts = []
         for i, m in enumerate(models):
-            x_sub = jax.lax.dynamic_slice_in_dim(x, offsets[i], m.xdim)
+            # Static slice (offsets are Python ints): stays a lax.slice
+            # under nested vmap, so the trace is gather-free and runs
+            # inside Pallas kernels (Mosaic has no >2D gather).
+            x_sub = x[offsets[i]:offsets[i] + m.xdim]
             parts.append(m.ode(t, x_sub, us[i, : m.udim]))
         return jnp.concatenate(parts)
 

@@ -67,7 +67,8 @@ def solve_batched(
 
 def make_batched_solver(
     problem: Problem, params: SolverParams, mesh: Optional[Mesh] = None,
-    host_outer_loop: bool = False,
+    host_outer_loop: bool = False, backend: str = "auto",
+    batch_block: int = 128, interpret: bool = False,
 ):
     """Build a batched solver fn: x0 [B, xdim] -> ALResult (batched).
 
@@ -81,10 +82,33 @@ def make_batched_solver(
     and robust against long-program device faults. The batch sharding is
     preserved across host steps because every jitted piece is closed over
     sharded inputs.
+
+    backend: "pallas" = the production batch-level Pallas machine
+    (solver/batched.py) shard_mapped over the mesh; "xla" = the vmapped
+    fused machine; "auto" = pallas on TPU (feedback-LQ problems), xla
+    otherwise. The pallas path pads each device's local batch to a
+    multiple of `batch_block` lanes internally.
     """
     if mesh is None:
         mesh = make_mesh()
     x0_sharding = NamedSharding(mesh, P(BATCH_AXIS))
+
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if (jax.default_backend() != "cpu" and not params.open_loop)
+            else "xla"
+        )
+
+    if backend == "pallas":
+        from ilqgames_tpu.solver import batched
+
+        return batched.make_host_batched_solver(
+            problem.dynamics, problem.player_costs, problem.spec, params,
+            warm_op=problem.initial_operating_point(),
+            warm_strategy=problem.initial_strategy(),
+            batch_block=batch_block, interpret=interpret, mesh=mesh,
+        )
 
     if host_outer_loop:
         from ilqgames_tpu.solver import fused

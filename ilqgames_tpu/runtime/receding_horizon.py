@@ -543,13 +543,32 @@ def simulate_batched(
     final_time: float = 10.0,
     replan_interval: float = 0.25,
     planner_time: float = 0.25,
+    backend: str = "xla",
+    batch_block: int = 128,
+    interpret: bool = False,
+    mesh=None,
 ):
     """Batched receding-horizon simulation: B independent agents (varying
     initial states) replan in lockstep, each cycle one jitted vmapped step
     (BASELINE config 5: 1k-initial-state receding-horizon reachability).
 
+    backend="pallas" routes every cycle's warm re-solve through the
+    batch-level Pallas machine (solver/batched.py) with the integrate/
+    splice phases vmapped around it; "auto" picks pallas off-CPU.
+
     Returns (states [n_cycles+1, B, xdim], times [n_cycles+1], SimState
     with batched leaves)."""
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if (jax.default_backend() != "cpu" and not params.open_loop)
+            else "xla"
+        )
+    if backend == "pallas":
+        return _simulate_batched_pallas(
+            problem, params, x0_batch, final_time, replan_interval,
+            planner_time, batch_block, interpret, mesh,
+        )
     spec = problem.spec
     dyn = problem.dynamics
     B = x0_batch.shape[0]
@@ -617,6 +636,93 @@ def simulate_batched(
     states, times = [state.x], [jnp.float32(0.0)]
     for c in range(n_cycles):
         state = cycle_b(state)
+        states.append(state.x)
+        times.append(jnp.float32((c + 1) * replan_interval))
+    return jnp.stack(states), jnp.stack(times), state
+
+
+def _simulate_batched_pallas(problem, params, x0_batch, final_time,
+                             replan_interval, planner_time, batch_block,
+                             interpret, mesh):
+    """simulate_batched with the batch-level Pallas solver in the loop:
+    each cycle = vmapped integrate/setup -> host-stepped batched warm
+    solve (early exit when all lanes converge) -> vmapped splice."""
+    from ilqgames_tpu.solver import batched as pb
+
+    spec = problem.spec
+    dyn = problem.dynamics
+    B = x0_batch.shape[0]
+
+    first_run = pb.make_host_batched_solver(
+        dyn, problem.player_costs, spec, params,
+        warm_op=problem.initial_operating_point(),
+        warm_strategy=problem.initial_strategy(),
+        batch_block=batch_block, interpret=interpret, mesh=mesh,
+    )
+    first = first_run(x0_batch)
+    splicer0 = jax.jit(jax.vmap(
+        lambda op, st: Splicer.create(spec, op, st)
+    ))(first.op, first.strategy)
+
+    warm_solver = pb.make_host_batched_warm_solver(
+        dyn, problem.player_costs, spec, params,
+        batch_block=batch_block, interpret=interpret, mesh=mesh,
+    )
+
+    sspec = _splicer_spec(spec)
+    max_span_steps = int(replan_interval / spec.dt) + 2
+    N = spec.num_time_steps
+
+    def pre(state):
+        t_next = state.t + replan_interval
+        x_next = integrate_span(
+            dyn, sspec, state.splicer.op, state.splicer.strategy,
+            state.t, t_next, state.x, max_span_steps,
+        )
+        warm_op = OperatingPoint(
+            xs=state.splicer.op.xs[:N], us=state.splicer.op.us[:N],
+            t0=state.splicer.op.t0,
+        )
+        warm_strategy = Strategy(
+            Ps=state.splicer.strategy.Ps[:N],
+            alphas=state.splicer.strategy.alphas[:N],
+        )
+        new_op, new_strategy, new_x0 = setup_next_receding_horizon(
+            dyn, spec, warm_op, warm_strategy, x_next, t_next, planner_time
+        )
+        return t_next, x_next, new_op, new_strategy, new_x0
+
+    def post(state, t_next, x_next, res_op, res_strategy, res_converged):
+        spliced = splice(spec, state.splicer, res_op, res_strategy)
+        keep = lambda a, b: jnp.where(res_converged, a, b)
+        new_splicer = jax.tree_util.tree_map(keep, spliced, state.splicer)
+        return SimState(
+            x=x_next, t=t_next, splicer=new_splicer,
+            al_state=state.al_state, converged=res_converged,
+            num_replans=state.num_replans + 1,
+        )
+
+    pre_b = jax.jit(jax.vmap(pre))
+    post_b = jax.jit(jax.vmap(post))
+
+    tile = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), t
+    )
+    state = SimState(
+        x=jnp.asarray(x0_batch),
+        t=jnp.zeros((B,), jnp.float32),
+        splicer=splicer0,
+        al_state=tile(problem.initial_al_state()),
+        converged=first.converged,
+        num_replans=jnp.zeros((B,), jnp.int32),
+    )
+    n_cycles = int(final_time / replan_interval) - 1
+    states, times = [state.x], [jnp.float32(0.0)]
+    for c in range(n_cycles):
+        t_next, x_next, new_op, new_strategy, new_x0 = pre_b(state)
+        res = warm_solver(new_x0, new_op, new_strategy, state.al_state)
+        state = post_b(state, t_next, x_next, res.op, res.strategy,
+                       res.converged)
         states.append(state.x)
         times.append(jnp.float32((c + 1) * replan_interval))
     return jnp.stack(states), jnp.stack(times), state

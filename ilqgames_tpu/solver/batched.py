@@ -261,46 +261,30 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
     )
 
 
-def make_host_batched_solver(dyn, player_costs, spec, params,
-                             warm_op=None, warm_strategy=None,
-                             trips_per_call: int = 25,
-                             batch_block: int = 128,
-                             interpret: bool = False):
-    """Batched Pallas solve with bounded device programs (twin of
-    fused.make_host_batched_solver): each dispatch runs `trips_per_call`
-    masked trips for the whole batch; the host loops until all lanes are
-    done. Returns fn(x0 [B, xdim]) -> batched ALResult."""
-    constrained = pcost.is_constrained(player_costs)
-    if warm_op is None:
-        warm_op = OperatingPoint.zeros(spec)
-    if warm_strategy is None:
-        warm_strategy = Strategy.zeros(spec)
+def _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
+            batch_block, interpret):
+    Bt = x0_b.shape[0]
+    c0 = _init_inner_batched(
+        dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
+        jnp.full((Bt,), jnp.inf, jnp.float32),
+        batch_block=batch_block, interpret=interpret,
+    )
+    return _FusedCarry(
+        c=c0, al=al_b, warm_op=c0.op, warm_strategy=c0.strategy,
+        inner_iters=jnp.zeros((Bt,), jnp.int32),
+        cum_iters=jnp.zeros((Bt,), jnp.int32),
+        violation=jnp.full((Bt,), jnp.inf, jnp.float32),
+        success=jnp.ones((Bt,), bool),
+        done=jnp.zeros((Bt,), bool),
+    )
 
-    def init(x0_b):
-        Bt = x0_b.shape[0]
-        al0 = jax.vmap(
-            lambda _: pcost.ALState.init(player_costs, spec)
-        )(jnp.arange(Bt))
-        wop = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), warm_op
-        )
-        wst = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape),
-            warm_strategy,
-        )
-        c0 = _init_inner_batched(
-            dyn, player_costs, spec, x0_b, wop, wst, al0,
-            jnp.full((Bt,), jnp.inf, jnp.float32),
-            batch_block=batch_block, interpret=interpret,
-        )
-        return _FusedCarry(
-            c=c0, al=al0, warm_op=c0.op, warm_strategy=c0.strategy,
-            inner_iters=jnp.zeros((Bt,), jnp.int32),
-            cum_iters=jnp.zeros((Bt,), jnp.int32),
-            violation=jnp.full((Bt,), jnp.inf, jnp.float32),
-            success=jnp.ones((Bt,), bool),
-            done=jnp.zeros((Bt,), bool),
-        )
+
+def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
+                 batch_block, interpret, mesh):
+    """Shared host-stepped driver: `init(*args) -> _FusedCarry` (args[0]
+    must be x0_b), then trips_per_call masked trips per dispatch until
+    every lane is done. Optionally shard_mapped over a 1-D mesh."""
+    constrained = pcost.is_constrained(player_costs)
 
     if constrained:
         def trip(x0_b, fc):
@@ -335,10 +319,6 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
         fc, _ = jax.lax.scan(body, fc, None, length=trips_per_call)
         return fc
 
-    init_j = jax.jit(init)
-    steps_j = jax.jit(steps)
-    all_done = jax.jit(lambda fc: jnp.all(fc.done))
-
     def finalize(fc):
         fv = jax.vmap(
             lambda o: max_constraint_violation(player_costs, spec, o)
@@ -354,12 +334,104 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
             cumulative_iterations=fc.cum_iters, al_state=fc.al,
         )
 
-    finalize_j = jax.jit(finalize)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    def run(x0_batch):
-        fc = init_j(x0_batch)
+        axis = mesh.axis_names[0]
+        pspec = PartitionSpec(axis)
+        sm = lambda f, n: shard_map(
+            f, mesh=mesh, in_specs=(pspec,) * n, out_specs=pspec,
+            check_vma=False,
+        )
+        # in_specs arity must match the entry point's init signature;
+        # built on first use and cached (one jit per arity).
+        x0_sharding = NamedSharding(mesh, pspec)
+        init_cache = {}
+
+        def init_for(n):
+            if n not in init_cache:
+                init_cache[n] = jax.jit(sm(init, n))
+            return init_cache[n]
+
+        steps_j = jax.jit(sm(steps, 2))
+        finalize_j = jax.jit(sm(finalize, 1))
+        all_done = jax.jit(lambda fc: jnp.all(fc.done))
+
+        def run(*args):
+            args = tuple(jax.device_put(a, x0_sharding) for a in args)
+            fc = init_for(len(args))(*args)
+            while not bool(all_done(fc)):
+                fc = steps_j(args[0], fc)
+            return finalize_j(fc)
+
+        return run
+
+    init_j = jax.jit(init)
+    steps_j = jax.jit(steps)
+    finalize_j = jax.jit(finalize)
+    all_done = jax.jit(lambda fc: jnp.all(fc.done))
+
+    def run(*args):
+        fc = init_j(*args)
         while not bool(all_done(fc)):
-            fc = steps_j(x0_batch, fc)
+            fc = steps_j(args[0], fc)
         return finalize_j(fc)
 
     return run
+
+
+def make_host_batched_solver(dyn, player_costs, spec, params,
+                             warm_op=None, warm_strategy=None,
+                             trips_per_call: int = 25,
+                             batch_block: int = 128,
+                             interpret: bool = False,
+                             mesh=None):
+    """Batched Pallas solve with bounded device programs (twin of
+    fused.make_host_batched_solver): each dispatch runs `trips_per_call`
+    masked trips for the whole batch; the host loops until all lanes are
+    done. Returns fn(x0 [B, xdim]) -> batched ALResult.
+
+    With `mesh` (a 1-D jax.sharding.Mesh over the batch axis), every
+    device program is wrapped in `shard_map`: each device runs the Pallas
+    kernels on its local batch shard, and no collectives are needed until
+    the host-side all-done reduction (instances never communicate —
+    docs/scaling.md). The global batch must divide mesh size *
+    batch_block... or rather mesh size; each shard pads to batch_block
+    lanes internally."""
+    if warm_op is None:
+        warm_op = OperatingPoint.zeros(spec)
+    if warm_strategy is None:
+        warm_strategy = Strategy.zeros(spec)
+
+    def init(x0_b):
+        Bt = x0_b.shape[0]
+        al0 = jax.vmap(
+            lambda _: pcost.ALState.init(player_costs, spec)
+        )(jnp.arange(Bt))
+        bc = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), t
+        )
+        return _carry0(dyn, player_costs, spec, x0_b, bc(warm_op),
+                       bc(warm_strategy), al0, batch_block, interpret)
+
+    return _make_driver(dyn, player_costs, spec, params, init,
+                        trips_per_call, batch_block, interpret, mesh)
+
+
+def make_host_batched_warm_solver(dyn, player_costs, spec, params,
+                                  trips_per_call: int = 25,
+                                  batch_block: int = 128,
+                                  interpret: bool = False,
+                                  mesh=None):
+    """Warm-started batched Pallas solve: fn(x0 [B,x], warm_op, 
+    warm_strategy, al_state — all batched) -> ALResult. The receding-
+    horizon replanning path (runtime/receding_horizon.py simulate_batched
+    backend='pallas')."""
+
+    def init(x0_b, wop_b, wst_b, al_b):
+        return _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
+                       batch_block, interpret)
+
+    return _make_driver(dyn, player_costs, spec, params, init,
+                        trips_per_call, batch_block, interpret, mesh)

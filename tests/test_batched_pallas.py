@@ -138,6 +138,34 @@ def test_trip_parity(setup):
         )
 
 
+def test_shard_map_parity(setup):
+    """The mesh-sharded pallas solver (shard_map over a 4-device CPU mesh)
+    must equal the single-shard batched solver exactly — instances never
+    communicate, so sharding cannot change any lane's math."""
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+    mesh = Mesh(onp.asarray(jax.devices()[:4]), ("batch",))
+    run_mesh = batched.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10, batch_block=1,
+        interpret=True, mesh=mesh,
+    )
+    run_flat = batched.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10, batch_block=1,
+        interpret=True,
+    )
+    res_m = run_mesh(x0b)
+    res_f = run_flat(x0b)
+    np.testing.assert_array_equal(
+        np.asarray(res_m.converged), np.asarray(res_f.converged))
+    np.testing.assert_allclose(res_m.op.xs, res_f.op.xs, rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        res_m.total_costs, res_f.total_costs, rtol=1e-6, atol=1e-6)
+
+
 def test_full_solve_parity(setup):
     problem, params, x0b = setup
     dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
