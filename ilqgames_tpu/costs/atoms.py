@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqgames_tpu import geometry
-from ilqgames_tpu.costs.base import Cost
+from ilqgames_tpu.costs.base import Cost, assemble_matrix, assemble_vector
 
 _EPS = 1e-12
 
@@ -199,16 +199,14 @@ def locally_convex_proximity(weight: float, dims1: Tuple[int, int],
         is_x_active = delta_x * delta_x < delta_y * delta_y
 
         def branch(a_idx, b_idx, delta):
-            grad = jnp.zeros((d,))
-            hess = jnp.zeros((d, d))
             dval = -weight * delta  # shipped form: no sgn() factor
-            grad = grad.at[a_idx].add(dval).at[b_idx].add(-dval)
-            hess = (
-                hess.at[a_idx, a_idx].add(weight)
-                .at[b_idx, b_idx].add(weight)
-                .at[a_idx, b_idx].add(-weight)
-                .at[b_idx, a_idx].add(-weight)
-            )
+            grad = assemble_vector(
+                d, [(a_idx, dval), (b_idx, -dval)], dval)
+            hess = assemble_matrix(
+                d,
+                [((a_idx, a_idx), weight), ((b_idx, b_idx), weight),
+                 ((a_idx, b_idx), -weight), ((b_idx, a_idx), -weight)],
+                dval)
             return hess, grad
 
         hx, gx = branch(x1, x2, delta_x)
@@ -256,8 +254,6 @@ def weighted_convex_proximity(weight: float, dims1: Tuple[int, int],
         is_x_active = delta_x * delta_x < delta_y * delta_y
 
         def branch(a1, a2, delta, diff):
-            grad = jnp.zeros((d,))
-            hess = jnp.zeros((d, d))
             da1 = -weight * delta * vv
             dv1 = -weight * v[vidx1] * delta * delta
             dv2 = -weight * v[vidx2] * delta * delta
@@ -266,20 +262,20 @@ def weighted_convex_proximity(weight: float, dims1: Tuple[int, int],
             da1dv1 = -2.0 * weight * v[vidx1] * _sgn(diff)
             da1dv2 = -2.0 * weight * v[vidx2] * _sgn(diff)
 
-            hess = (
-                hess.at[a1, a1].add(dda1).at[a1, a2].add(-dda1)
-                .at[a2, a1].add(-dda1).at[a2, a2].add(dda1)
-                .at[a1, vidx1].add(da1dv1).at[a1, vidx2].add(da1dv2)
-                .at[a2, vidx1].add(-da1dv1).at[a2, vidx2].add(-da1dv2)
-                .at[vidx1, a1].add(da1dv1).at[vidx1, a2].add(-da1dv1)
-                .at[vidx1, vidx1].add(ddv)
-                .at[vidx2, a1].add(da1dv2).at[vidx2, a2].add(-da1dv2)
-                .at[vidx2, vidx2].add(ddv)
-            )
-            grad = (
-                grad.at[a1].add(da1).at[a2].add(-da1)
-                .at[vidx1].add(dv1).at[vidx2].add(dv2)
-            )
+            hess = assemble_matrix(
+                d,
+                [((a1, a1), dda1), ((a1, a2), -dda1),
+                 ((a2, a1), -dda1), ((a2, a2), dda1),
+                 ((a1, vidx1), da1dv1), ((a1, vidx2), da1dv2),
+                 ((a2, vidx1), -da1dv1), ((a2, vidx2), -da1dv2),
+                 ((vidx1, a1), da1dv1), ((vidx1, a2), -da1dv1),
+                 ((vidx1, vidx1), ddv),
+                 ((vidx2, a1), da1dv2), ((vidx2, a2), -da1dv2),
+                 ((vidx2, vidx2), ddv)],
+                da1)
+            grad = assemble_vector(
+                d,
+                [(a1, da1), (a2, -da1), (vidx1, dv1), (vidx2, dv2)], da1)
             return hess, grad
 
         hx, gx = branch(x1, x2, delta_x, dx)
@@ -333,10 +329,11 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         ddy = jnp.where(use_v, hv[1], hi[1]) * gate
         dxdy = jnp.where(use_v, hv[2], hi[2]) * gate
 
-        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
-        hess = (jnp.zeros((d, d))
-                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
-                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
+        hess = assemble_matrix(
+            d,
+            [((xidx, xidx), ddx), ((yidx, yidx), ddy),
+             ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
     return Cost(name, evaluate, quad_fn)
@@ -394,10 +391,11 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         ddy = hess_iv[1] * gate
         dxdy = hess_iv[2] * gate
 
-        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
-        hess = (jnp.zeros((d, d))
-                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
-                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
+        hess = assemble_matrix(
+            d,
+            [((xidx, xidx), ddx), ((yidx, yidx), ddy),
+             ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
     return Cost(name, evaluate, quad_fn)
@@ -444,10 +442,11 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         ddy = jnp.where(res.is_vertex, ddyv, 0.0)
         dxdy = jnp.where(res.is_vertex, dxdyv, 0.0)
 
-        grad = jnp.zeros((d,)).at[xidx].add(dx).at[yidx].add(dy)
-        hess = (jnp.zeros((d, d))
-                .at[xidx, xidx].add(ddx).at[yidx, yidx].add(ddy)
-                .at[xidx, yidx].add(dxdy).at[yidx, xidx].add(dxdy))
+        grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
+        hess = assemble_matrix(
+            d,
+            [((xidx, xidx), ddx), ((yidx, yidx), ddy),
+             ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
     return Cost(name, evaluate, quad_fn)

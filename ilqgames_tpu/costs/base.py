@@ -27,6 +27,32 @@ import jax.numpy as jnp
 from ilqgames_tpu.types import SMALL_NUMBER
 
 
+def assemble_vector(d, entries, like):
+    """[d] vector from static (index, scalar) pairs, built with a stack
+    instead of scatters — Mosaic (Pallas TPU) has no scatter lowering, and
+    this code runs inside the sweep kernel. Duplicate indices accumulate.
+    `like`: any scalar tracer, for a correctly-batched zero."""
+    acc = {}
+    for i, v in entries:
+        acc[i] = acc[i] + v if i in acc else v
+    zero = jnp.zeros_like(like)
+    return jnp.stack([acc.get(i, zero) for i in range(d)])
+
+
+def assemble_matrix(d, entries, like):
+    """[d, d] matrix from static ((i, j), scalar) pairs; see
+    assemble_vector. Under vmap the stacks batch into a handful of
+    concatenates, not per-instance work."""
+    acc = {}
+    for ij, v in entries:
+        acc[ij] = acc[ij] + v if ij in acc else v
+    zero = jnp.zeros_like(like)
+    return jnp.stack([
+        jnp.stack([acc.get((i, j), zero) for j in range(d)])
+        for i in range(d)
+    ])
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class Cost:
     """A scalar stage cost on one input vector (a state x or one player's u).
@@ -46,14 +72,16 @@ class Cost:
     support: Optional[Tuple[int, ...]] = None
 
     def _restricted(self, t, v):
-        # Static per-index updates (not array-index scatters) so the trace
-        # stays gather/scatter-free and runs unchanged inside Pallas kernels.
+        # Stack-based reassembly (no scatters) so the trace runs unchanged
+        # inside Pallas kernels.
         idx = self.support
+        pos = {i: n for n, i in enumerate(idx)}
+        d = v.shape[0]
 
         def f(sub):
-            vv = v
-            for n, i in enumerate(idx):
-                vv = vv.at[i].set(sub[n])
+            vv = jnp.stack([
+                sub[pos[i]] if i in pos else v[i] for i in range(d)
+            ])
             return self.evaluate(t, vv)
 
         return f, jnp.stack([v[i] for i in idx])
@@ -65,10 +93,9 @@ class Cost:
         if self.support is not None:
             f, sub = self._restricted(t, v)
             g = jax.grad(f)(sub)
-            out = jnp.zeros_like(v)
-            for n, i in enumerate(self.support):
-                out = out.at[i].set(g[n])
-            return out
+            return assemble_vector(
+                v.shape[0],
+                [(i, g[n]) for n, i in enumerate(self.support)], v[0])
         return jax.grad(self.evaluate, argnums=1)(t, v)
 
     def quadraticize(self, t, v):
@@ -80,12 +107,13 @@ class Cost:
             g = jax.grad(f)(sub)
             h = jax.hessian(f)(sub)
             d = v.shape[0]
-            grad = jnp.zeros((d,), v.dtype)
-            hess = jnp.zeros((d, d), v.dtype)
-            for n, i in enumerate(idx):
-                grad = grad.at[i].set(g[n])
-                for n2, i2 in enumerate(idx):
-                    hess = hess.at[i, i2].set(h[n, n2])
+            grad = assemble_vector(
+                d, [(i, g[n]) for n, i in enumerate(idx)], v[0])
+            hess = assemble_matrix(
+                d,
+                [((i, i2), h[n, n2])
+                 for n, i in enumerate(idx) for n2, i2 in enumerate(idx)],
+                v[0])
             return hess, grad
         grad = jax.grad(self.evaluate, argnums=1)(t, v)
         hess = jax.hessian(self.evaluate, argnums=1)(t, v)
@@ -123,11 +151,13 @@ class Constraint:
 
     def _restricted_al(self, t, v, lam, mu):
         idx = self.support
+        pos = {i: n for n, i in enumerate(idx)}
+        d = v.shape[0]
 
         def f(sub):
-            vv = v
-            for n, i in enumerate(idx):
-                vv = vv.at[i].set(sub[n])
+            vv = jnp.stack([
+                sub[pos[i]] if i in pos else v[i] for i in range(d)
+            ])
             return self.evaluate_al(t, vv, lam, mu)
 
         return f, jnp.stack([v[i] for i in idx])
@@ -139,10 +169,9 @@ class Constraint:
         if self.support is not None:
             f, sub = self._restricted_al(t, v, lam, mu)
             g = jax.grad(f)(sub)
-            out = jnp.zeros_like(v)
-            for n, i in enumerate(self.support):
-                out = out.at[i].set(g[n])
-            return out
+            return assemble_vector(
+                v.shape[0],
+                [(i, g[n]) for n, i in enumerate(self.support)], v[0])
         return jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
 
     def quadraticize_al(self, t, v, lam, mu):
@@ -159,12 +188,13 @@ class Constraint:
             g = jax.grad(f)(sub)
             h = jax.hessian(f)(sub)
             d = v.shape[0]
-            grad = jnp.zeros((d,), v.dtype)
-            hess = jnp.zeros((d, d), v.dtype)
-            for n, i in enumerate(idx):
-                grad = grad.at[i].set(g[n])
-                for n2, i2 in enumerate(idx):
-                    hess = hess.at[i, i2].set(h[n, n2])
+            grad = assemble_vector(
+                d, [(i, g[n]) for n, i in enumerate(idx)], v[0])
+            hess = assemble_matrix(
+                d,
+                [((i, i2), h[n, n2])
+                 for n, i in enumerate(idx) for n2, i2 in enumerate(idx)],
+                v[0])
             return hess, grad
         grad = jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
         hess = jax.hessian(self.evaluate_al, argnums=1)(t, v, lam, mu)

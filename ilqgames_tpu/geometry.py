@@ -201,7 +201,10 @@ def polyline_closest_point(
     cpx = pick([c["cpx"] for c in cand])
     cpy = pick([c["cpy"] for c in cand])
     chosen_ssd = pick([c["ssd"] for c in cand])
-    chosen_is_vertex = pick([c["is_vertex"] for c in cand])
+    # Bool select lowers to an unsupported i1 truncation in Mosaic; pick
+    # a 0/1 float and re-threshold.
+    chosen_is_vertex = pick(
+        [c["is_vertex"].astype(jnp.float32) for c in cand]) > 0.5
     p1x = pick([jnp.full_like(qx, c["p1"][0]) for c in cand])
     p1y = pick([jnp.full_like(qx, c["p1"][1]) for c in cand])
     unx = pick([jnp.full_like(qx, c["unit"][0]) for c in cand])

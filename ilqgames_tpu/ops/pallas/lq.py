@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -128,8 +129,15 @@ def _backward_kernel(
 
     # Coupling matrix S rows (+ own-control R on diagonal blocks, identity
     # on padded control entries), then Gershgorin column regularization.
-    u_mask = spec.u_mask()  # concrete [P, umax]
-    pad_diag_vec = 1.0 - jnp.asarray(u_mask).reshape(Pu)  # [Pu] const
+    # NOTE: no `.at[]` anywhere in this kernel — jnp scatter has no Mosaic
+    # lowering; block insertion uses concatenation, diagonal bumps use
+    # iota masks.
+    u_mask_np = np.zeros((P, u), np.float32)
+    for _i, _d in enumerate(spec.udims):
+        u_mask_np[_i, :_d] = 1.0
+    pad_diag_np = 1.0 - u_mask_np.reshape(Pu)
+    Bb = A.shape[-1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Pu, 1), 0)
 
     S_rows = []
     for af in range(Pu):
@@ -137,10 +145,18 @@ def _backward_kernel(
         acc = BiZ[af][0][None, :] * Bf[0]
         for y in range(1, x):
             acc = acc + BiZ[af][y][None, :] * Bf[y]  # [Pu, B]
-        rblk = R_row(i, i, a)  # [u, B]
-        acc = acc.at[i * u:(i + 1) * u].add(rblk)
-        onehot = jnp.zeros((Pu,), jnp.float32).at[af].set(pad_diag_vec[af])
-        acc = acc + onehot[:, None]
+        rblk = R_row(i, i, a)  # [u, B] -> embed at rows i*u:(i+1)*u
+        parts = []
+        if i > 0:
+            parts.append(jnp.zeros((i * u, Bb), jnp.float32))
+        parts.append(rblk)
+        if (i + 1) * u < Pu:
+            parts.append(jnp.zeros((Pu - (i + 1) * u, Bb), jnp.float32))
+        acc = acc + (jnp.concatenate(parts, axis=0)
+                     if len(parts) > 1 else parts[0])
+        pad_val = float(pad_diag_np[af])
+        if pad_val != 0.0:
+            acc = acc + jnp.where(col_ids == af, pad_val, 0.0)
         S_rows.append(acc)
 
     if adaptive_regularization:
@@ -150,7 +166,11 @@ def _backward_kernel(
         radius = colsum - jnp.abs(diag)
         bump = jnp.where(diag - radius < _MIN_GERSHGORIN_EVAL,
                          radius + _MIN_GERSHGORIN_EVAL, 0.0)
-        S_rows = [S_rows[aa].at[aa].add(bump[aa]) for aa in range(Pu)]
+        S_rows = [
+            S_rows[aa]
+            + jnp.where(col_ids == aa, bump[aa][None, :], 0.0)
+            for aa in range(Pu)
+        ]
 
     # RHS rows: [x gains | 1 affine].
     M_rows = []

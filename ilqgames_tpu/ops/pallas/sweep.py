@@ -220,6 +220,12 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((C, x, Bb), jnp.float32)],
+        # The merit sweep's autodiff temporaries (cost gradients x C
+        # candidates x Bb lanes) overflow the conservative 16M default
+        # scoped-vmem budget; v5e has headroom well beyond it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
     return outs
