@@ -32,6 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ilqgames_tpu.ops.pallas.sweep import _time_block
 from ilqgames_tpu.types import GameSpec, LinearDynamics, LQSolution, \
     QuadraticCosts, Strategy
 
@@ -79,7 +80,7 @@ def _lu_solve_rows(rows, n, rhs_w):
 
 
 def _backward_kernel(
-    # streams (one knot per grid step, reversed in time)
+    # streams (Tb knots per grid step, reversed in time)
     A_ref, Bf_ref, Qf_ref, lf_ref, Rf_ref, rf_ref,
     # terminal condition (resident)
     QT_ref, lT_ref,
@@ -87,7 +88,7 @@ def _backward_kernel(
     Ps_ref, al_ref,
     # scratch carries
     Z_scr, zeta_scr,
-    *, spec: GameSpec, adaptive_regularization: bool,
+    *, spec: GameSpec, adaptive_regularization: bool, Tb: int,
 ):
     P = spec.num_players
     x = spec.xdim
@@ -100,153 +101,158 @@ def _backward_kernel(
         Z_scr[...] = QT_ref[...]
         zeta_scr[...] = lT_ref[...]
 
-    A = A_ref[0]        # [x, x, B]
-    Bf = Bf_ref[0]      # [x, Pu, B]
-    Qf = Qf_ref[0]      # [P*x, x, B]
-    lf = lf_ref[0]      # [P*x, B]
-    Rf = Rf_ref[0]      # [P*P*u, u, B]
-    rf = rf_ref[0]      # [P*P*u, B]
-    Z = Z_scr[...]      # [P*x, x, B]
-    zeta = zeta_scr[...]  # [P*x, B]
+    def step(i, _):
+        tt = Tb - 1 - i  # walk the block backward in time
+        A = A_ref[pl.ds(tt, 1)][0]        # [x, x, B]
+        Bf = Bf_ref[pl.ds(tt, 1)][0]      # [x, Pu, B]
+        Qf = Qf_ref[pl.ds(tt, 1)][0]      # [P*x, x, B]
+        lf = lf_ref[pl.ds(tt, 1)][0]      # [P*x, B]
+        Rf = Rf_ref[pl.ds(tt, 1)][0]      # [P*P*u, u, B]
+        rf = rf_ref[pl.ds(tt, 1)][0]      # [P*P*u, B]
+        Z = Z_scr[...]      # [P*x, x, B]
+        zeta = zeta_scr[...]  # [P*x, B]
 
-    def player_of(af):
-        return af // u
+        def player_of(af):
+            return af // u
 
-    def R_row(i, j, a):
-        return Rf[(i * P + j) * u + a]  # [u, B]
+        def R_row(i, j, a):
+            return Rf[(i * P + j) * u + a]  # [u, B]
 
-    def r_entry(i, j, a):
-        return rf[(i * P + j) * u + a]  # [B]
+        def r_entry(i, j, a):
+            return rf[(i * P + j) * u + a]  # [B]
 
-    # B_i^T Z_i, rows flattened over (i, a): BiZ[af] = [x(y), B].
-    BiZ = []
-    for af in range(Pu):
-        i = player_of(af)
-        acc = Bf[0, af][None, :] * Z[i * x + 0]
-        for xx in range(1, x):
-            acc = acc + Bf[xx, af][None, :] * Z[i * x + xx]
-        BiZ.append(acc)
+        # B_i^T Z_i, rows flattened over (i, a): BiZ[af] = [x(y), B].
+        BiZ = []
+        for af in range(Pu):
+            i = player_of(af)
+            acc = Bf[0, af][None, :] * Z[i * x + 0]
+            for xx in range(1, x):
+                acc = acc + Bf[xx, af][None, :] * Z[i * x + xx]
+            BiZ.append(acc)
 
-    # Coupling matrix S rows (+ own-control R on diagonal blocks, identity
-    # on padded control entries), then Gershgorin column regularization.
-    # NOTE: no `.at[]` anywhere in this kernel — jnp scatter has no Mosaic
-    # lowering; block insertion uses concatenation, diagonal bumps use
-    # iota masks.
-    u_mask_np = np.zeros((P, u), np.float32)
-    for _i, _d in enumerate(spec.udims):
-        u_mask_np[_i, :_d] = 1.0
-    pad_diag_np = 1.0 - u_mask_np.reshape(Pu)
-    Bb = A.shape[-1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Pu, 1), 0)
+        # Coupling matrix S rows (+ own-control R on diagonal blocks, identity
+        # on padded control entries), then Gershgorin column regularization.
+        # NOTE: no `.at[]` anywhere in this kernel — jnp scatter has no Mosaic
+        # lowering; block insertion uses concatenation, diagonal bumps use
+        # iota masks.
+        u_mask_np = np.zeros((P, u), np.float32)
+        for _i, _d in enumerate(spec.udims):
+            u_mask_np[_i, :_d] = 1.0
+        pad_diag_np = 1.0 - u_mask_np.reshape(Pu)
+        Bb = A.shape[-1]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (Pu, 1), 0)
 
-    S_rows = []
-    for af in range(Pu):
-        i, a = player_of(af), af % u
-        acc = BiZ[af][0][None, :] * Bf[0]
-        for y in range(1, x):
-            acc = acc + BiZ[af][y][None, :] * Bf[y]  # [Pu, B]
-        rblk = R_row(i, i, a)  # [u, B] -> embed at rows i*u:(i+1)*u
-        parts = []
-        if i > 0:
-            parts.append(jnp.zeros((i * u, Bb), jnp.float32))
-        parts.append(rblk)
-        if (i + 1) * u < Pu:
-            parts.append(jnp.zeros((Pu - (i + 1) * u, Bb), jnp.float32))
-        acc = acc + (jnp.concatenate(parts, axis=0)
-                     if len(parts) > 1 else parts[0])
-        pad_val = float(pad_diag_np[af])
-        if pad_val != 0.0:
-            acc = acc + jnp.where(col_ids == af, pad_val, 0.0)
-        S_rows.append(acc)
+        S_rows = []
+        for af in range(Pu):
+            i, a = player_of(af), af % u
+            acc = BiZ[af][0][None, :] * Bf[0]
+            for y in range(1, x):
+                acc = acc + BiZ[af][y][None, :] * Bf[y]  # [Pu, B]
+            rblk = R_row(i, i, a)  # [u, B] -> embed at rows i*u:(i+1)*u
+            parts = []
+            if i > 0:
+                parts.append(jnp.zeros((i * u, Bb), jnp.float32))
+            parts.append(rblk)
+            if (i + 1) * u < Pu:
+                parts.append(jnp.zeros((Pu - (i + 1) * u, Bb), jnp.float32))
+            acc = acc + (jnp.concatenate(parts, axis=0)
+                         if len(parts) > 1 else parts[0])
+            pad_val = float(pad_diag_np[af])
+            if pad_val != 0.0:
+                acc = acc + jnp.where(col_ids == af, pad_val, 0.0)
+            S_rows.append(acc)
 
-    if adaptive_regularization:
-        absS = jnp.abs(jnp.stack(S_rows))           # [Pu, Pu, B]
-        colsum = jnp.sum(absS, axis=0)              # [Pu, B] column sums
-        diag = jnp.stack([S_rows[aa][aa] for aa in range(Pu)])  # [Pu, B]
-        radius = colsum - jnp.abs(diag)
-        bump = jnp.where(diag - radius < _MIN_GERSHGORIN_EVAL,
-                         radius + _MIN_GERSHGORIN_EVAL, 0.0)
-        S_rows = [
-            S_rows[aa]
-            + jnp.where(col_ids == aa, bump[aa][None, :], 0.0)
-            for aa in range(Pu)
-        ]
+        if adaptive_regularization:
+            absS = jnp.abs(jnp.stack(S_rows))           # [Pu, Pu, B]
+            colsum = jnp.sum(absS, axis=0)              # [Pu, B] column sums
+            diag = jnp.stack([S_rows[aa][aa] for aa in range(Pu)])  # [Pu, B]
+            radius = colsum - jnp.abs(diag)
+            bump = jnp.where(diag - radius < _MIN_GERSHGORIN_EVAL,
+                             radius + _MIN_GERSHGORIN_EVAL, 0.0)
+            S_rows = [
+                S_rows[aa]
+                + jnp.where(col_ids == aa, bump[aa][None, :], 0.0)
+                for aa in range(Pu)
+            ]
 
-    # RHS rows: [x gains | 1 affine].
-    M_rows = []
-    for af in range(Pu):
-        i, a = player_of(af), af % u
-        Yp = BiZ[af][0][None, :] * A[0]
-        for y in range(1, x):
-            Yp = Yp + BiZ[af][y][None, :] * A[y]    # [x, B]
-        Ya = Bf[0, af] * zeta[i * x + 0]
-        for xx in range(1, x):
-            Ya = Ya + Bf[xx, af] * zeta[i * x + xx]
-        Ya = Ya + r_entry(i, i, a)                  # [B]
-        M_rows.append(jnp.concatenate([S_rows[af], Yp, Ya[None, :]], axis=0))
+        # RHS rows: [x gains | 1 affine].
+        M_rows = []
+        for af in range(Pu):
+            i, a = player_of(af), af % u
+            Yp = BiZ[af][0][None, :] * A[0]
+            for y in range(1, x):
+                Yp = Yp + BiZ[af][y][None, :] * A[y]    # [x, B]
+            Ya = Bf[0, af] * zeta[i * x + 0]
+            for xx in range(1, x):
+                Ya = Ya + Bf[xx, af] * zeta[i * x + xx]
+            Ya = Ya + r_entry(i, i, a)                  # [B]
+            M_rows.append(jnp.concatenate([S_rows[af], Yp, Ya[None, :]], axis=0))
 
-    X = _lu_solve_rows(M_rows, Pu, x + 1)
-    Pmat = [X[af][:x] for af in range(Pu)]          # each [x, B]
-    alpha = [X[af][x] for af in range(Pu)]          # each [B]
+        X = _lu_solve_rows(M_rows, Pu, x + 1)
+        Pmat = [X[af][:x] for af in range(Pu)]          # each [x, B]
+        alpha = [X[af][x] for af in range(Pu)]          # each [B]
 
-    Ps_ref[0] = jnp.stack(Pmat)                     # [Pu, x, B]
-    al_ref[0] = jnp.stack(alpha)                    # [Pu, B]
+        Ps_ref[pl.ds(tt, 1)] = jnp.stack(Pmat)[None]    # [1, Pu, x, B]
+        al_ref[pl.ds(tt, 1)] = jnp.stack(alpha)[None]   # [1, Pu, B]
 
-    # Closed-loop transition and drift.
-    F = A
-    for af in range(Pu):
-        F = F - Bf[:, af][:, None, :] * Pmat[af][None, :, :]
-    beta = -(Bf[:, 0] * alpha[0][None, :])
-    for af in range(1, Pu):
-        beta = beta - Bf[:, af] * alpha[af][None, :]
+        # Closed-loop transition and drift.
+        F = A
+        for af in range(Pu):
+            F = F - Bf[:, af][:, None, :] * Pmat[af][None, :, :]
+        beta = -(Bf[:, 0] * alpha[0][None, :])
+        for af in range(1, Pu):
+            beta = beta - Bf[:, af] * alpha[af][None, :]
 
-    # Value updates, player by player (each touches only its own Z/zeta).
-    for i in range(P):
-        Zi = Z[i * x:(i + 1) * x]                   # [x, x, B]
-        zi = zeta[i * x:(i + 1) * x]                # [x, B]
+        # Value updates, player by player (each touches only its own Z/zeta).
+        for i in range(P):
+            Zi = Z[i * x:(i + 1) * x]                   # [x, x, B]
+            zi = zeta[i * x:(i + 1) * x]                # [x, B]
 
-        Zb = Zi[:, 0] * beta[0][None, :]
-        for y in range(1, x):
-            Zb = Zb + Zi[:, y] * beta[y][None, :]
-        w = zi + Zb                                  # [x, B]
-        Ftw = F[0] * w[0][None, :]
-        for xx in range(1, x):
-            Ftw = Ftw + F[xx] * w[xx][None, :]       # [x, B]
+            Zb = Zi[:, 0] * beta[0][None, :]
+            for y in range(1, x):
+                Zb = Zb + Zi[:, y] * beta[y][None, :]
+            w = zi + Zb                                  # [x, B]
+            Ftw = F[0] * w[0][None, :]
+            for xx in range(1, x):
+                Ftw = Ftw + F[xx] * w[xx][None, :]       # [x, B]
 
-        cross = jnp.zeros_like(w)
-        for j in range(P):
-            for a in range(u):
-                Rrow = R_row(i, j, a)                # [u, B]
-                Ra = Rrow[0] * alpha[j * u + 0]
-                for v in range(1, u):
-                    Ra = Ra + Rrow[v] * alpha[j * u + v]
-                coef = Ra - r_entry(i, j, a)         # [B]
-                cross = cross + Pmat[j * u + a] * coef[None, :]
+            cross = jnp.zeros_like(w)
+            for j in range(P):
+                for a in range(u):
+                    Rrow = R_row(i, j, a)                # [u, B]
+                    Ra = Rrow[0] * alpha[j * u + 0]
+                    for v in range(1, u):
+                        Ra = Ra + Rrow[v] * alpha[j * u + v]
+                    coef = Ra - r_entry(i, j, a)         # [B]
+                    cross = cross + Pmat[j * u + a] * coef[None, :]
 
-        zeta_new = Ftw + lf[i * x:(i + 1) * x] + cross
+            zeta_new = Ftw + lf[i * x:(i + 1) * x] + cross
 
-        T = Zi[:, 0][:, None, :] * F[0][None, :, :]
-        for y in range(1, x):
-            T = T + Zi[:, y][:, None, :] * F[y][None, :, :]  # [x, x, B]
-        FtT = F[0][:, None, :] * T[0][None, :, :]
-        for xx in range(1, x):
-            FtT = FtT + F[xx][:, None, :] * T[xx][None, :, :]
+            T = Zi[:, 0][:, None, :] * F[0][None, :, :]
+            for y in range(1, x):
+                T = T + Zi[:, y][:, None, :] * F[y][None, :, :]  # [x, x, B]
+            FtT = F[0][:, None, :] * T[0][None, :, :]
+            for xx in range(1, x):
+                FtT = FtT + F[xx][:, None, :] * T[xx][None, :, :]
 
-        PRP = jnp.zeros_like(FtT)
-        for j in range(P):
-            for a in range(u):
-                Rrow = R_row(i, j, a)
-                RP = Rrow[0][None, :] * Pmat[j * u + 0]
-                for v in range(1, u):
-                    RP = RP + Rrow[v][None, :] * Pmat[j * u + v]  # [x, B]
-                PRP = PRP + Pmat[j * u + a][:, None, :] * RP[None, :, :]
+            PRP = jnp.zeros_like(FtT)
+            for j in range(P):
+                for a in range(u):
+                    Rrow = R_row(i, j, a)
+                    RP = Rrow[0][None, :] * Pmat[j * u + 0]
+                    for v in range(1, u):
+                        RP = RP + Rrow[v][None, :] * Pmat[j * u + v]  # [x, B]
+                    PRP = PRP + Pmat[j * u + a][:, None, :] * RP[None, :, :]
 
-        Z_scr[i * x:(i + 1) * x] = FtT + Qf[i * x:(i + 1) * x] + PRP
-        zeta_scr[i * x:(i + 1) * x] = zeta_new
+            Z_scr[i * x:(i + 1) * x] = FtT + Qf[i * x:(i + 1) * x] + PRP
+            zeta_scr[i * x:(i + 1) * x] = zeta_new
+        return 0
+
+    jax.lax.fori_loop(0, Tb, step, 0)
 
 
 def _forward_kernel(A_ref, Bf_ref, al_ref, dx0_ref, dxs_ref, xlast_ref,
-                    x_scr, *, spec: GameSpec):
+                    x_scr, *, spec: GameSpec, Tb: int):
     x = spec.xdim
     Pu = spec.num_players * spec.umax
     s = pl.program_id(1)
@@ -255,19 +261,23 @@ def _forward_kernel(A_ref, Bf_ref, al_ref, dx0_ref, dxs_ref, xlast_ref,
     def _init():
         x_scr[...] = dx0_ref[...]
 
-    xs = x_scr[...]                                  # [x, B]
-    dxs_ref[0] = xs
+    def step(i, _):
+        xs = x_scr[...]                              # [x, B]
+        dxs_ref[pl.ds(i, 1)] = xs[None]
 
-    A = A_ref[0]
-    Bf = Bf_ref[0]
-    al = al_ref[0]                                   # [Pu, B]
-    xn = A[:, 0] * xs[0][None, :]
-    for y in range(1, x):
-        xn = xn + A[:, y] * xs[y][None, :]
-    for af in range(Pu):
-        xn = xn - Bf[:, af] * al[af][None, :]
-    x_scr[...] = xn
-    xlast_ref[...] = xn
+        A = A_ref[pl.ds(i, 1)][0]
+        Bf = Bf_ref[pl.ds(i, 1)][0]
+        al = al_ref[pl.ds(i, 1)][0]                  # [Pu, B]
+        xn = A[:, 0] * xs[0][None, :]
+        for y in range(1, x):
+            xn = xn + A[:, y] * xs[y][None, :]
+        for af in range(Pu):
+            xn = xn - Bf[:, af] * al[af][None, :]
+        x_scr[...] = xn
+        return 0
+
+    jax.lax.fori_loop(0, Tb, step, 0)
+    xlast_ref[...] = x_scr[...]
 
 
 # ---------------------------------------------------------------------------
@@ -332,32 +342,36 @@ def solve_lq_feedback_pallas(
     nb = B // batch_block
     Bb = batch_block
     ns = N - 1
+    Tb = _time_block(ns)
+    nblk = ns // Tb
 
-    # ---- backward sweep ----
-    rev = lambda b, s: (ns - 1 - s, 0, 0, b)
-    rev3 = lambda b, s: (ns - 1 - s, 0, b)
+    # ---- backward sweep (Tb knots per grid step, blocks reversed) ----
+    rev = lambda b, s: (nblk - 1 - s, 0, 0, b)
+    rev3 = lambda b, s: (nblk - 1 - s, 0, b)
     kern = functools.partial(
         _backward_kernel, spec=spec,
-        adaptive_regularization=adaptive_regularization,
+        adaptive_regularization=adaptive_regularization, Tb=Tb,
     )
     Ps_r, al_r = pl.pallas_call(
         kern,
-        grid=(nb, ns),
+        grid=(nb, nblk),
         in_specs=[
-            pl.BlockSpec((1, x, x, Bb), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, x, Pu, Bb), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P * x, x, Bb), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P * x, Bb), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P * P * u, u, Bb), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P * P * u, Bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, x, x, Bb), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, x, Pu, Bb), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, P * x, x, Bb), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, P * x, Bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, P * P * u, u, Bb), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, P * P * u, Bb), rev3,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((P * x, x, Bb), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P * x, Bb), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Pu, x, Bb), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pu, Bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, Pu, x, Bb), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, Pu, Bb), rev3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, Pu, x, B), jnp.float32),
@@ -367,6 +381,9 @@ def solve_lq_feedback_pallas(
             pltpu.VMEM((P * x, x, Bb), jnp.float32),
             pltpu.VMEM((P * x, Bb), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(A[:ns], Bf[:ns], Qf[:ns], lf[:ns], Rf[:ns], rf[:ns], Qf[N - 1],
       lf[N - 1])
@@ -375,17 +392,17 @@ def solve_lq_feedback_pallas(
     fwd = lambda b, s: (s, 0, 0, b)
     fwd3 = lambda b, s: (s, 0, b)
     dxs_r, xlast = pl.pallas_call(
-        functools.partial(_forward_kernel, spec=spec),
-        grid=(nb, ns),
+        functools.partial(_forward_kernel, spec=spec, Tb=Tb),
+        grid=(nb, nblk),
         in_specs=[
-            pl.BlockSpec((1, x, x, Bb), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, x, Pu, Bb), fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, x, x, Bb), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, x, Pu, Bb), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
             pl.BlockSpec((x, Bb), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, x, Bb), fwd3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tb, x, Bb), fwd3, memory_space=pltpu.VMEM),
             pl.BlockSpec((x, Bb), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
         ],

@@ -32,8 +32,17 @@ from ilqgames_tpu.ops.pallas.layout import bm, mb, pad_batch
 from ilqgames_tpu.types import GameSpec, OperatingPoint, Strategy
 
 
+def _time_block(n: int, cap: int = 16) -> int:
+    """Largest divisor of n not exceeding cap (knots per grid step)."""
+    for tb in range(min(cap, n), 0, -1):
+        if n % tb == 0:
+            return tb
+    return 1
+
+
 def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
-                 nC: int, compute_merit: bool, emit_traj: bool):
+                 nC: int, compute_merit: bool, emit_traj: bool,
+                 Tb: int = 1):
     P = spec.num_players
     x = spec.xdim
     u = spec.umax
@@ -89,9 +98,9 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         uso_ref = next(it) if emit_traj else None
         xcur = next(it)  # scratch [C, x, Bb]
 
-        k = pl.program_id(1)
+        s = pl.program_id(1)
 
-        @pl.when(k == 0)
+        @pl.when(s == 0)
         def _init():
             xcur[...] = jnp.broadcast_to(
                 x0_ref[...][None], (C,) + x0_ref.shape
@@ -99,50 +108,66 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
             if compute_merit:
                 merit_ref[...] = jnp.zeros_like(merit_ref)
 
-        x_c = xcur[...]                       # [C, x, B]
-        x_ref_k = xs_ref[0]                   # [x, B]
-        u_ref_k = us_ref[0]                   # [Pu, B]
-        P_k = Ps_ref[0]                       # [Pu, x, B]
-        a_k = al_ref[0]                       # [Pu, B]
         scal = scal_ref[...]                  # [C, B]
-        t = t0_ref[0] + k.astype(jnp.float32) * dt  # [B]
 
-        delta = x_c - x_ref_k[None]           # [C, x, B]
-        us_rows = []
-        for af in range(Pu):
-            acc = P_k[af, 0][None, :] * delta[:, 0]
-            for xx in range(1, x):
-                acc = acc + P_k[af, xx][None, :] * delta[:, xx]
-            row = (u_ref_k[af][None, :] - acc - scal * a_k[af][None, :])
-            us_rows.append(row * float(u_mask_flat[af]))
-        us_flat = jnp.stack(us_rows, axis=1)  # [C, Pu, B]
-        us_cb = us_flat.reshape(C, P, u, us_flat.shape[-1])
+        # Tb knots per grid step: block streams land in VMEM once, the
+        # fori_loop walks them with dynamic in-block reads — grid/DMA
+        # bookkeeping amortizes over the whole block.
+        def step(i, _):
+            k = s * Tb + i                    # global knot (traced)
+            x_c = xcur[...]                   # [C, x, B]
+            x_ref_k = xs_ref[pl.ds(i, 1)][0]  # [x, B]
+            u_ref_k = us_ref[pl.ds(i, 1)][0]  # [Pu, B]
+            P_k = Ps_ref[pl.ds(i, 1)][0]      # [Pu, x, B]
+            a_k = al_ref[pl.ds(i, 1)][0]      # [Pu, B]
+            t = t0_ref[0] + k.astype(jnp.float32) * dt  # [B]
 
-        if compute_merit:
-            lamS = tuple(
-                lamS_ref[0, sc_off[i]:sc_off[i + 1]] for i in range(P)
-            ) if nS > 0 else tuple(
-                jnp.zeros((0, x_c.shape[-1]), jnp.float32) for _ in range(P)
-            )
-            lamC = tuple(
-                lamC_ref[0, cc_off[i]:cc_off[i + 1]] for i in range(P)
-            ) if nC > 0 else tuple(
-                jnp.zeros((0, x_c.shape[-1]), jnp.float32) for _ in range(P)
-            )
-            mu = mu_ref[0]                    # [B]
-            l_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
-            # l_cb [C, P, xd, B]; gate [P, B]
-            l_g = l_cb * gate_ref[0][None, :, None, :]
-            state_term = jnp.sum(l_g * l_g, axis=(1, 2))      # [C, B]
-            ctrl_term = jnp.sum(r_cb * r_cb, axis=(1, 2))
-            inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
-            merit_ref[...] = merit_ref[...] + inc
+            delta = x_c - x_ref_k[None]       # [C, x, B]
+            us_rows = []
+            for af in range(Pu):
+                acc = P_k[af, 0][None, :] * delta[:, 0]
+                for xx in range(1, x):
+                    acc = acc + P_k[af, xx][None, :] * delta[:, xx]
+                row = (u_ref_k[af][None, :] - acc - scal * a_k[af][None, :])
+                us_rows.append(row * float(u_mask_flat[af]))
+            us_flat = jnp.stack(us_rows, axis=1)  # [C, Pu, B]
+            us_cb = us_flat.reshape(C, P, u, us_flat.shape[-1])
 
-        if emit_traj:
-            xso_ref[0] = x_c.reshape(C * x, x_c.shape[-1])
-            uso_ref[0] = us_flat.reshape(C * Pu, us_flat.shape[-1])
+            if compute_merit:
+                lamS = tuple(
+                    lamS_ref[pl.ds(i, 1)][0, sc_off[p_]:sc_off[p_ + 1]]
+                    for p_ in range(P)
+                ) if nS > 0 else tuple(
+                    jnp.zeros((0, x_c.shape[-1]), jnp.float32)
+                    for _ in range(P)
+                )
+                lamC = tuple(
+                    lamC_ref[pl.ds(i, 1)][0, cc_off[p_]:cc_off[p_ + 1]]
+                    for p_ in range(P)
+                ) if nC > 0 else tuple(
+                    jnp.zeros((0, x_c.shape[-1]), jnp.float32)
+                    for _ in range(P)
+                )
+                mu = mu_ref[0]                # [B]
+                l_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
+                # l_cb [C, P, xd, B]; gate [P, B]
+                gate_k = gate_ref[pl.ds(i, 1)][0]
+                l_g = l_cb * gate_k[None, :, None, :]
+                state_term = jnp.sum(l_g * l_g, axis=(1, 2))  # [C, B]
+                ctrl_term = jnp.sum(r_cb * r_cb, axis=(1, 2))
+                inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
+                merit_ref[...] = merit_ref[...] + inc
 
-        xcur[...] = integ_cb(t, x_c, us_cb)
+            if emit_traj:
+                xso_ref[pl.ds(i, 1)] = x_c.reshape(
+                    1, C * x, x_c.shape[-1])
+                uso_ref[pl.ds(i, 1)] = us_flat.reshape(
+                    1, C * Pu, us_flat.shape[-1])
+
+            xcur[...] = integ_cb(t, x_c, us_cb)
+            return 0
+
+        jax.lax.fori_loop(0, Tb, step, 0)
 
     return kernel
 
@@ -163,28 +188,35 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
     nS = al_lamS.shape[1] if (compute_merit and al_lamS is not None) else 0
     nC = al_lamC.shape[1] if (compute_merit and al_lamC is not None) else 0
 
+    # Knots per grid step: capped both by divisibility and by the
+    # double-buffered block footprint (trajectory emission at many
+    # candidates makes per-knot blocks large).
+    knot_bytes = 4 * Bb * (x + Pu + Pu * x + Pu + P + nS + nC
+                           + (C * (x + Pu) if emit_traj else 0))
+    cap = max(1, min(16, (4 * 1024 * 1024) // max(knot_bytes, 1)))
+    Tb = _time_block(N, cap=cap)
     fwd4 = lambda b, s: (s, 0, 0, b)
     fwd3 = lambda b, s: (s, 0, b)
     res = lambda b, s: (0, b)
 
     in_specs = [
-        pl.BlockSpec((1, x, Bb), fwd3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Pu, x, Bb), fwd4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tb, x, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tb, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tb, Pu, x, Bb), fwd4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tb, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
     ]
     operands = [last_op["xs"], last_op["us"], strategy["Ps"],
                 strategy["alphas"]]
     if compute_merit:
-        in_specs.append(pl.BlockSpec((1, P, Bb), fwd3,
+        in_specs.append(pl.BlockSpec((Tb, P, Bb), fwd3,
                                      memory_space=pltpu.VMEM))
         operands.append(gate)
         if nS > 0:
-            in_specs.append(pl.BlockSpec((1, nS, Bb), fwd3,
+            in_specs.append(pl.BlockSpec((Tb, nS, Bb), fwd3,
                                          memory_space=pltpu.VMEM))
             operands.append(al_lamS)
         if nC > 0:
-            in_specs.append(pl.BlockSpec((1, nC, Bb), fwd3,
+            in_specs.append(pl.BlockSpec((Tb, nC, Bb), fwd3,
                                          memory_space=pltpu.VMEM))
             operands.append(al_lamC)
         in_specs.append(pl.BlockSpec((1, Bb), res,
@@ -204,18 +236,18 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((C, B), jnp.float32))
     if emit_traj:
-        out_specs.append(pl.BlockSpec((1, C * x, Bb), fwd3,
+        out_specs.append(pl.BlockSpec((Tb, C * x, Bb), fwd3,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, C * x, B), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, C * Pu, Bb), fwd3,
+        out_specs.append(pl.BlockSpec((Tb, C * Pu, Bb), fwd3,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, C * Pu, B), jnp.float32))
 
     kern = _make_kernel(dyn, player_costs, spec, C, nS, nC,
-                        compute_merit, emit_traj)
+                        compute_merit, emit_traj, Tb=Tb)
     outs = pl.pallas_call(
         kern,
-        grid=(nb, N),
+        grid=(nb, N // Tb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -340,3 +372,47 @@ def sweep_merits_pallas(
         batch_block=Bb, interpret=interpret,
     )
     return 0.5 * mb(merits, Bt)             # [Bt, C]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dyn", "spec", "batch_block", "interpret"),
+)
+def rollout_candidates_pallas(
+    dyn,
+    spec: GameSpec,
+    x0: jnp.ndarray,          # [Bt, x]
+    last_op: OperatingPoint,  # batch-major
+    strategy: Strategy,       # batch-major (unscaled LQ strategy)
+    scalings: jnp.ndarray,    # [C] candidate alpha scalings
+    batch_block: int = 128,
+    interpret: bool = False,
+):
+    """Roll out EVERY candidate stepsize in one kernel pass and emit all
+    trajectories: (xs [Bt, N, C, x], us [Bt, N, C, P, u]).
+
+    This is the first half of the all-candidates linesearch: candidates
+    ride the sublane axis, so evaluating the whole ladder costs barely
+    more than one rollout (the kernel is op-issue-bound, not flop-bound).
+    Merits are then computed in one parallel XLA pass over (N, C, B) —
+    no sequential dependence — and selection is the same first-Armijo-
+    pass rule as the reference's backtracking loop
+    (src/ilq_solver.cpp:325-343)."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    u = spec.umax
+    x = spec.xdim
+    C = scalings.shape[0]
+    Bt = x0.shape[0]
+    op, st, x0m = _prep_common(spec, x0, last_op, strategy, batch_block)
+    B = op["xs"].shape[-1]
+    scal_cb = jnp.broadcast_to(scalings[:, None], (C, B))
+
+    xs_r, us_r = _run(
+        dyn, None, spec, x0m, op, st, scal_cb, None, None, None, None,
+        compute_merit=False, emit_traj=True,
+        batch_block=batch_block, interpret=interpret,
+    )
+    xs = mb(xs_r.reshape(N, C, x, B), Bt)          # [Bt, N, C, x]
+    us = mb(us_r.reshape(N, C, P, u, B), Bt)       # [Bt, N, C, P, u]
+    return xs, us

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ilqgames_tpu.costs import player_cost as pcost
 from ilqgames_tpu.dynamics import base as dyn_base
 from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
-from ilqgames_tpu.ops.pallas.sweep import rollout_pallas, sweep_merits_pallas
+from ilqgames_tpu.ops.pallas.sweep import rollout_candidates_pallas, \
+    rollout_pallas
 from ilqgames_tpu.solver import ilq
 from ilqgames_tpu.solver.al import ALResult, constraint_violations, \
     max_constraint_violation
@@ -57,6 +58,39 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
     return jax.vmap(
         lambda o, a, ek: pcost.quadraticize(player_costs, spec, o, a, ek)
     )(op, al, extreme_ks)
+
+
+def _merits_all(player_costs, spec, al_state, gate, t0, xs_cand, us_cand):
+    """Merit of EVERY linesearch candidate: [Bt, Cp]. 0.5 * sum over
+    knots of squared (gated) stage gradients along each candidate's
+    rollout — the reference merit function (src/ilq_solver.cpp:404-435)
+    evaluated for the whole backtracking ladder in one parallel pass
+    (no sequential dependence once trajectories exist)."""
+    N = spec.num_time_steps
+    ks = jnp.arange(N)
+
+    def one(xs_c, us_c, lamS, lamC, mu, gate_b, t0_b):
+        lamS_k = tuple(l.T for l in lamS)   # per player [N, n_i]
+        lamC_k = tuple(l.T for l in lamC)
+        ts = t0_b + ks.astype(jnp.float32) * spec.dt
+
+        def at_k(k, t, xsk, usk, lS, lC, g):
+            def percand(xc, uc):
+                return pcost.stage_gradients_core(
+                    player_costs, spec, lS, lC, mu, t, xc, uc)
+
+            l, r = jax.vmap(percand)(xsk, usk)  # [Cp,P,xd], [Cp,P,u]
+            l = l * g[None, :, None]
+            state = jnp.where(k > 0, jnp.sum(l * l, axis=(1, 2)), 0.0)
+            ctrl = jnp.sum(r * r, axis=(1, 2))
+            return ctrl + state                  # [Cp]
+
+        contrib = jax.vmap(at_k)(ks, ts, xs_c, us_c, lamS_k, lamC_k,
+                                 gate_b)         # [N, Cp]
+        return 0.5 * jnp.sum(contrib, axis=0)
+
+    return jax.vmap(one)(xs_cand, us_cand, al_state.state_lambdas,
+                         al_state.control_lambdas, al_state.mu, gate, t0)
 
 
 def _extreme_gate_b(player_costs, spec, extreme_ks):
@@ -116,54 +150,51 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     )
     gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
 
-    chunk = min(params.linesearch_chunk, n_cand)
-    n_tranche = -(-n_cand // chunk)
-    pad = n_tranche * chunk - n_cand
-    scal_pad = jnp.concatenate(
-        [scalings, jnp.full((pad,), scalings[-1], jnp.float32)]
-    ).reshape(n_tranche, chunk)
-    valid = (jnp.arange(n_tranche * chunk) < n_cand).reshape(
-        n_tranche, chunk
-    )
+    # ALL-CANDIDATES linesearch: one kernel pass rolls out the entire
+    # geometric ladder (candidates ride the sublane axis — nearly free
+    # width), one parallel XLA pass computes every merit, and selection
+    # is the same first-Armijo-pass rule as the reference's sequential
+    # backtracking (src/ilq_solver.cpp:325-343). This makes linesearch
+    # cost independent of how many candidates lanes reject — the
+    # tranche-loop formulation paid a full sweep per tranche whenever
+    # any lane kept backtracking.
+    Cp = -(-n_cand // 8) * 8  # sublane-aligned candidate count
+    pad = Cp - n_cand
+    scal_full = jnp.concatenate(
+        [scalings, jnp.full((pad,), scalings[-1], jnp.float32)])
+    valid = jnp.arange(Cp) < n_cand
 
-    def tr_cond(tc):
-        t_idx, found, _, _ = tc
-        return (t_idx < n_tranche) & jnp.any(~found)
+    xs_cand, us_cand = rollout_candidates_pallas(
+        dyn, spec, x0, last_op, lqsol.strategy, scal_full,
+        batch_block=batch_block, interpret=interpret,
+    )  # [Bt, N, Cp, x], [Bt, N, Cp, P, u]
+    merits = _merits_all(
+        player_costs, spec, al_state, gate, last_op.t0, xs_cand, us_cand,
+    )  # [Bt, Cp]
 
-    def tr_body(tc):
-        t_idx, found, scal_sel, merit_sel = tc
-        scals = scal_pad[t_idx]
-        merits_t = sweep_merits_pallas(
-            dyn, player_costs, spec, x0, last_op, lqsol.strategy, scals,
-            al_state, gate, batch_block=batch_block, interpret=interpret,
-        )  # [B, chunk]
-        ok = (
-            (c.last_merit[:, None] - merits_t)
-            >= params.expected_decrease_fraction * scals[None, :]
-            * expected_decrease[:, None]
-        ) & valid[t_idx][None, :]
-        found_t = jnp.any(ok, axis=1)
-        local = jnp.argmax(ok, axis=1)
-        newly = ~found & found_t
-        scal_sel = jnp.where(newly, scals[local], scal_sel)
-        merit_sel = jnp.where(
-            newly, jnp.take_along_axis(merits_t, local[:, None], 1)[:, 0],
-            merit_sel,
-        )
-        return (t_idx + 1, found | found_t, scal_sel, merit_sel)
-
-    _, passed, scal_sel, merit_sel = jax.lax.while_loop(
-        tr_cond, tr_body,
-        (jnp.asarray(0, jnp.int32), jnp.zeros((Bt,), bool),
-         jnp.full((Bt,), scalings[0]), c.last_merit),
+    ok = (
+        (c.last_merit[:, None] - merits)
+        >= params.expected_decrease_fraction * scal_full[None, :]
+        * expected_decrease[:, None]
+    ) & valid[None, :]
+    passed = jnp.any(ok, axis=1)
+    idx = jnp.argmax(ok, axis=1)
+    scal_sel = jnp.where(passed, scal_full[idx], scalings[0])
+    merit_sel = jnp.where(
+        passed, jnp.take_along_axis(merits, idx[:, None], 1)[:, 0],
+        c.last_merit,
     )
 
     strategy_sel = lqsol.strategy.replace(
         alphas=lqsol.strategy.alphas * scal_sel[:, None, None, None]
     )
-    op_sel = rollout_pallas(
-        dyn, spec, x0, last_op, lqsol.strategy, scal=scal_sel,
-        batch_block=batch_block, interpret=interpret,
+    # The selected candidate's trajectory IS its rollout (bitwise — the
+    # kernel computed it); gather it instead of re-rolling.
+    onehot = jax.nn.one_hot(idx, Cp, dtype=jnp.float32)
+    op_sel = OperatingPoint(
+        xs=jnp.einsum("bncx,bc->bnx", xs_cand, onehot),
+        us=jnp.einsum("bncpu,bc->bnpu", us_cand, onehot),
+        t0=last_op.t0,
     )
     quad_sel = _quad_b(player_costs, spec, op_sel, al_state, c.extreme_ks)
 
