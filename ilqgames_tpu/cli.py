@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--max_backtracking_steps", type=int, default=100)
     p.add_argument("--save", action="store_true", help="save solver log")
     p.add_argument("--experiment_name", default=None)
+    p.add_argument("--html", default=None, metavar="PATH",
+                   help="write a scrubable HTML animation of the solve "
+                        "(iterate + time sliders; the reference GUI's "
+                        "capability as a headless artifact)")
     p.add_argument("--viz", action="store_true",
                    help="save a top-down trajectory plot (PNG)")
     p.add_argument("--check_nash", action="store_true",
@@ -159,8 +163,13 @@ def main(argv=None):
         print("Solution is" + ("" if bool(is_nash) else " NOT")
               + " a numerical local Nash.")
 
-    if args.save or args.viz:
+    if args.save or args.viz or args.html:
         _, log = problem.solve_logged(params)
+        if args.html:
+            from ilqgames_tpu import viz_html
+
+            out = viz_html.render_html(problem, log, args.html)
+            print(f"Saved HTML animation to {out}")
         if args.save:
             path = log.save(args.experiment_name)
             print(f"Saved log to {path}")

@@ -98,3 +98,21 @@ def test_viz_smoke():
     assert ax is not None
     ax2 = viz.plot_costs(prob, log, player=0)
     assert ax2 is not None
+
+
+def test_viz_html_artifact():
+    """The scrubable HTML animation (reference GUI capability as a
+    headless artifact: iterate + time sliders over the full history)."""
+    from ilqgames_tpu import viz_html
+
+    prob, res, log = solved_log()
+    with tempfile.TemporaryDirectory() as d:
+        path = viz_html.render_html(
+            prob, log, os.path.join(d, "anim.html"),
+            lanes=[np.array([[0.0, -5.0], [0.0, 5.0]])],
+        )
+        html = open(path).read()
+    assert "<canvas" in html and "iterate" in html
+    # Embedded data covers every iterate and knot.
+    assert f'"dt": {float(prob.spec.dt)}' in html
+    assert html.count('"x":') == log.num_iterates * prob.spec.num_players
