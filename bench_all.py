@@ -1,23 +1,33 @@
-"""All-config benchmark suite: one JSON line per BASELINE benchmark config.
+"""All five BASELINE benchmark configs on TPU, one JSON line each.
 
-BASELINE.md's five configs:
-  1. two-player LQ point-mass game        (reference python prototype)
-  2. two-player unicycle-4D collision     (two_player_collision, 10 s)
-  3. three-player intersection            (full cost zoo; also bench.py)
-  4. three-player flat intersection       (feedback-linearized)
-  5. receding-horizon AL reachability batch (1k initial states,
-     three_player_collision_avoidance_reachability +
-     src/receding_horizon_simulator.cpp:65-139)
+Configs (BASELINE.md benchmark list):
+  1. two_player_point_mass      — the 2-player LQ point-mass game
+                                  (python/test_two_player_point_mass.py)
+  2. two_player_collision       — src/two_player_collision_example.cpp
+                                  (broken as shipped upstream — see
+                                  baselines/measured.json; we bench our
+                                  throughput on it anyway)
+  3. three_player_intersection  — the flagship (measured reference
+                                  baseline 2.24 solves/s single core)
+  4. three_player_flat_intersection — feedback-linearized variant
+                                  (upstream binary segfaults as shipped;
+                                  fixed harness in baselines/)
+  5. receding_horizon_reachability_1k — 1000-initial-state receding-
+                                  horizon AL reachability batch
+                                  (src/three_player_collision_avoidance_
+                                  reachability_example.cpp:188-220 +
+                                  src/receding_horizon_simulator.cpp:65-139).
+                                  Reference contract: one warm replan per
+                                  instance per 0.25 s => 4 replans/s.
 
-Each line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-vs_baseline uses baselines/measured.json entries where the unmodified
-reference binary was measured; configs the reference cannot run as
-shipped fall back to the 0.25 s/solve receding-horizon budget (4
-solves/s, src/receding_horizon_simulator.cpp:119).
+Also emits warm single-solve latency p50/p95 (the reference's hard
+real-time budget is 0.25 s/solve, src/receding_horizon_simulator.cpp:119).
 
-Env knobs: BENCH_BATCH (per-chip batch for configs 1-4, default 256),
-BENCH_RH_BATCH (config 5 initial states, default 1000), BENCH_CONFIGS
-(comma list like "1,3,5", default all), BENCH_BACKEND (auto|pallas|xla).
+Each config prints {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline is null where the reference has no runnable counterpart.
+
+Run: python bench_all.py            (all configs)
+     BENCH_CONFIGS=1,3 python bench_all.py
 """
 
 from __future__ import annotations
@@ -28,10 +38,8 @@ import time
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_cache"),
-)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
@@ -39,34 +47,22 @@ for _i in range(20):
     try:
         jax.devices()
         break
-    except RuntimeError as _e:
+    except RuntimeError as _e:  # wedged tunnel: wait and retry
+        print(f"init retry {_i}: {_e}", flush=True)
         time.sleep(15)
 
 import jax.numpy as jnp
 import numpy as np
 
 
-def _measured():
-    path = os.path.join(os.path.dirname(__file__), "baselines",
-                        "measured.json")
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except Exception:  # noqa: BLE001
-        return {}
-
-
-def _baseline_solves_per_sec(measured, key):
-    try:
-        return 1.0 / float(measured[key]["mean_solve_s"])
-    except Exception:  # noqa: BLE001
-        return 4.0  # 0.25 s/solve receding-horizon budget
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
 
 
 def _exec_params(**over):
     from ilqgames_tpu.solver.params import SolverParams
 
-    kw = dict(
+    base = dict(
         max_solver_iters=100,
         unconstrained_solver_max_iters=10,
         max_backtracking_steps=100,
@@ -74,124 +70,219 @@ def _exec_params(**over):
         convergence_tolerance=1.0,
         expected_decrease_fraction=0.001,
     )
-    kw.update(over)
-    return SolverParams(**kw)
+    base.update(over)
+    return SolverParams(**base)
 
 
-def _x0_batch(problem, B, scale=0.1):
-    rng = np.random.RandomState(0)
+def _perturbed_x0(problem, B, sigma=0.1, seed=0):
+    rng = np.random.RandomState(seed)
     x0 = np.tile(np.asarray(problem.x0)[None], (B, 1))
-    x0 += scale * rng.randn(*x0.shape).astype(np.float32)
-    return jnp.asarray(x0)
+    return jnp.asarray(
+        x0 + sigma * rng.randn(*x0.shape).astype(np.float32))
 
 
-def bench_solver_config(name, example, params, batch, backend, extras=None):
-    import ilqgames_tpu.examples as ex
-    from ilqgames_tpu.parallel import mesh as pmesh
+def _throughput(problem, params, B, batch_block=128, trips_per_call=20,
+                sigma=0.1):
+    """Warm+timed batched solve; returns (solves/s/chip, stats)."""
+    from ilqgames_tpu.solver import batched
 
-    problem = ex.get(example)()
-    n_chips = jax.device_count()
-    B = batch * n_chips
-    mesh = pmesh.make_mesh()
-    solver = pmesh.make_batched_solver(
-        problem, params, mesh, host_outer_loop=True, backend=backend)
-    x0 = _x0_batch(problem, B)
-
-    res = solver(x0)  # warmup/compile
+    x0 = _perturbed_x0(problem, B, sigma)
+    run = batched.make_host_batched_solver(
+        problem.dynamics, problem.player_costs, problem.spec, params,
+        warm_op=problem.initial_operating_point(),
+        warm_strategy=problem.initial_strategy(),
+        trips_per_call=trips_per_call, batch_block=batch_block,
+    )
+    res = run(x0)
+    jax.block_until_ready(res.op.xs)  # compile+warm
+    t0 = time.perf_counter()
+    res = run(x0)
     jax.block_until_ready(res.op.xs)
-    reps = int(os.environ.get("BENCH_REPS", "1"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = solver(x0)
-        jax.block_until_ready(res.op.xs)
-    elapsed = (time.perf_counter() - t0) / reps
-
-    sps = B / elapsed / n_chips
-    out = {
-        "metric": f"{example}_solves_per_sec_per_chip",
-        "value": round(sps, 3),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(sps / _baseline_solves_per_sec(
-            _measured(), example), 3),
-        "batch": B,
-        "converged_frac": round(float(jnp.mean(
-            res.converged.astype(jnp.float32))), 3),
-    }
-    if extras:
-        out.update(extras)
-    return out
+    dt = time.perf_counter() - t0
+    stats = dict(
+        B=B, wall_s=round(dt, 2),
+        converged=round(float(jnp.mean(res.converged.astype(jnp.float32))), 4),
+        mean_iters=round(float(jnp.mean(
+            res.cumulative_iterations.astype(jnp.float32))), 1),
+    )
+    return B / dt, stats
 
 
-def bench_receding_horizon(batch, backend):
-    """Config 5: batched receding-horizon AL reachability
-    (src/three_player_collision_avoidance_reachability_example.cpp:188-220
-    + src/receding_horizon_simulator.cpp:65-139)."""
-    import ilqgames_tpu.examples as ex
-    from ilqgames_tpu.runtime import receding_horizon as rh
+def config1_point_mass():
+    """2-player LQ point-mass game: converges in a handful of iterations
+    (it IS an LQ game), so throughput is dominated by per-iteration cost."""
+    from ilqgames_tpu.examples.two_player_point_mass import make_problem
 
-    problem = ex.get("three_player_collision_avoidance_reachability")()
+    problem = make_problem()
+    params = _exec_params(max_solver_iters=20,
+                          unconstrained_solver_max_iters=20)
+    B = int(os.environ.get("BENCH_BATCH_PM", "1024"))
+    sps, stats = _throughput(problem, params, B, sigma=0.5)
+    emit(metric="two_player_point_mass_solves_per_sec_per_chip",
+         value=round(sps, 2), unit="solves/s/chip", vs_baseline=None,
+         note="no reference C++ counterpart (python prototype only)",
+         **stats)
+
+
+def config2_two_player_collision():
+    """two_player_collision with intersection exec params. The unmodified
+    reference dies after 2 iterates on this example under every param set
+    (baselines/measured.json two_player_collision); our solver reproduces
+    that failure mode, so the bench measures throughput of the attempt."""
+    from ilqgames_tpu.examples.two_player_collision import make_problem
+
+    problem = make_problem()
     params = _exec_params()
-    x0 = _x0_batch(problem, batch, scale=0.25)
+    B = int(os.environ.get("BENCH_BATCH_2PC", "256"))
+    sps, stats = _throughput(problem, params, B)
+    emit(metric="two_player_collision_solves_per_sec_per_chip",
+         value=round(sps, 2), unit="solves/s/chip", vs_baseline=None,
+         note="reference broken as shipped (immediate linesearch failure)",
+         **stats)
+
+
+def config3_intersection():
+    from ilqgames_tpu.examples.three_player_intersection import make_problem
+
+    problem = make_problem()
+    params = _exec_params()
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    sps, stats = _throughput(problem, params, B)
+    ref = 2.24  # baselines/measured.json mean_solve_s=0.447 single core
+    emit(metric="three_player_intersection_solves_per_sec_per_chip",
+         value=round(sps, 2), unit="solves/s/chip",
+         vs_baseline=round(sps / ref, 2), **stats)
+
+
+def config4_flat_intersection():
+    """Flat (feedback-linearized) intersection. Upstream exec segfaults as
+    shipped (dynamics_ member shadowing, baselines/measured.json
+    flat_examples); the fixed harness converges to a poor stationary point.
+    We bench our throughput at the same exec params."""
+    from ilqgames_tpu.examples.three_player_flat_intersection import \
+        make_problem
+
+    problem = make_problem()
+    params = _exec_params()
+    B = int(os.environ.get("BENCH_BATCH_FLAT", "256"))
+    sps, stats = _throughput(problem, params, B, sigma=0.1)
+    emit(metric="three_player_flat_intersection_solves_per_sec_per_chip",
+         value=round(sps, 2), unit="solves/s/chip", vs_baseline=None,
+         note="upstream binary segfaults as shipped; no reference number",
+         **stats)
+
+
+def config5_receding_horizon_1k():
+    """BASELINE config 5: 1000-initial-state receding-horizon AL
+    reachability batch. Metric: warm replans/s/chip across the whole
+    batch; reference contract is 4 replans/s/instance on one core."""
+    from ilqgames_tpu.examples.reachability import \
+        make_three_player_collision_avoidance
+    from ilqgames_tpu.runtime.receding_horizon import simulate_batched
+
+    problem = make_three_player_collision_avoidance()
+    params = _exec_params(
+        max_solver_iters=int(os.environ.get("RH_ITERS", "20")),
+        unconstrained_solver_max_iters=10,
+    )
+    B = int(os.environ.get("BENCH_BATCH_RH", "1000"))
+    final_time = float(os.environ.get("RH_FINAL_TIME", "2.0"))
+    x0 = _perturbed_x0(problem, B, sigma=0.25)
 
     t0 = time.perf_counter()
-    states, times, _ = rh.simulate_batched(
-        problem, params, x0, final_time=10.0, replan_interval=0.25,
-        backend=backend,
+    states, times, _ = simulate_batched(
+        problem, params, x0, final_time=final_time,
+        replan_interval=0.25, backend="auto",
+        batch_block=int(os.environ.get("CHECK_BLOCK", "128")),
     )
     jax.block_until_ready(states)
-    elapsed = time.perf_counter() - t0
-    n_cycles = states.shape[0] - 1
-    total_solves = batch * (n_cycles + 1)  # initial solve + replans
-    n_chips = jax.device_count()
-    sps = total_solves / elapsed / n_chips
-    # Reference contract: one warm re-solve per 0.25 s sim step on one
-    # core => 4 solves/s hard budget.
-    return {
-        "metric": "receding_horizon_reachability_warm_solves_per_sec_per_chip",
-        "value": round(sps, 3),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(sps / 4.0, 3),
-        "batch": batch,
-        "cycles": int(n_cycles),
-        "wall_s": round(elapsed, 1),
-    }
+    cold = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    states, times, _ = simulate_batched(
+        problem, params, x0, final_time=final_time,
+        replan_interval=0.25, backend="auto",
+        batch_block=int(os.environ.get("CHECK_BLOCK", "128")),
+    )
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+
+    n_cycles = len(times) - 1
+    replans = B * n_cycles
+    rps = replans / dt
+    emit(metric="receding_horizon_reachability_replans_per_sec_per_chip",
+         value=round(rps, 1), unit="replans/s/chip",
+         vs_baseline=round(rps / 4.0, 1),
+         B=B, cycles=n_cycles, wall_s=round(dt, 2),
+         cold_s=round(cold, 1),
+         note="baseline = reference hard budget 0.25 s/replan/instance "
+              "(src/receding_horizon_simulator.cpp:119)")
+
+
+def latency_single_solve():
+    """Warm-started single-instance solve latency p50/p95 vs the 0.25 s
+    receding-horizon contract. Uses the batched machine at B=1 (one
+    padded lane block — the latency configuration, not throughput)."""
+    from ilqgames_tpu.examples.three_player_intersection import make_problem
+    from ilqgames_tpu.solver import batched
+
+    problem = make_problem()
+    # Warm replans get a small budget (the reference gives them
+    # unconstrained_solver_max_iters per AL round within 0.25 s).
+    params = _exec_params(max_solver_iters=20)
+    run = batched.make_host_batched_warm_solver(
+        problem.dynamics, problem.player_costs, problem.spec, params,
+        trips_per_call=20,
+        batch_block=int(os.environ.get("LAT_BLOCK", "8")),
+    )
+    # Solve once cold to get a converged warm start.
+    from ilqgames_tpu.costs import player_cost as pcost
+    cold_params = _exec_params()
+    run_cold = batched.make_host_batched_solver(
+        problem.dynamics, problem.player_costs, problem.spec, cold_params,
+        warm_op=problem.initial_operating_point(),
+        warm_strategy=problem.initial_strategy(),
+        trips_per_call=20,
+        batch_block=int(os.environ.get("LAT_BLOCK", "8")),
+    )
+    x0 = problem.x0[None]
+    res0 = run_cold(x0)
+    jax.block_until_ready(res0.op.xs)
+
+    # Replan from a slightly advanced state, warm-started on the solution.
+    x1 = res0.op.xs[:, 2]
+    lat = []
+    for _ in range(int(os.environ.get("LAT_REPS", "20"))):
+        t0 = time.perf_counter()
+        res = run(x1, res0.op, res0.strategy, res0.al_state)
+        jax.block_until_ready(res.op.xs)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat[1:])  # drop the first (jit-dispatch warm)
+    p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+    emit(metric="warm_single_solve_latency_p50", value=round(p50, 4),
+         unit="s", vs_baseline=round(0.25 / p50, 1),
+         p95=round(p95, 4),
+         note="baseline = reference 0.25 s hard replan budget")
+
+
+CONFIGS = {
+    "1": config1_point_mass,
+    "2": config2_two_player_collision,
+    "3": config3_intersection,
+    "4": config4_flat_intersection,
+    "5": config5_receding_horizon_1k,
+    "latency": latency_single_solve,
+}
 
 
 def main():
-    backend = os.environ.get("BENCH_BACKEND", "auto")
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    rh_batch = int(os.environ.get("BENCH_RH_BATCH", "1000"))
-    which = set(
-        os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(","))
-
-    runs = []
-    if "1" in which:
-        runs.append(lambda: bench_solver_config(
-            "point_mass", "two_player_point_mass", _exec_params(), batch,
-            backend))
-    if "2" in which:
-        runs.append(lambda: bench_solver_config(
-            "collision", "two_player_collision", _exec_params(), batch,
-            backend))
-    if "3" in which:
-        runs.append(lambda: bench_solver_config(
-            "intersection", "three_player_intersection", _exec_params(),
-            batch, backend))
-    if "4" in which:
-        runs.append(lambda: bench_solver_config(
-            "flat_intersection", "three_player_flat_intersection",
-            _exec_params(), batch, backend))
-    if "5" in which:
-        runs.append(lambda: bench_receding_horizon(rh_batch, backend))
-
-    for run in runs:
+    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,latency").split(",")
+    for key in which:
+        key = key.strip()
         try:
-            print(json.dumps(run()), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"metric": "error", "value": 0,
-                              "unit": str(type(e).__name__),
-                              "vs_baseline": 0,
-                              "detail": str(e)[:200]}), flush=True)
+            CONFIGS[key]()
+        except Exception as e:  # keep emitting the rest
+            emit(metric=f"config_{key}", error=str(e)[:500])
 
 
 if __name__ == "__main__":

@@ -373,11 +373,12 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         dyv = weight * scaling * (q[1] - res.point[1])
 
         ux, uy = res.unit_direction[0], res.unit_direction[1]
-        hess_iv = jnp.where(
-            res.is_vertex,
-            jnp.array([weight, weight, 0.0]),
-            jnp.array([weight * uy * uy, weight * ux * ux,
-                       -weight * ux * uy]),
+        # Componentwise scalar selects (no jnp.array constants: Mosaic
+        # kernels cannot capture array consts — ops/pallas/sweep.py).
+        hess_iv = (
+            jnp.where(res.is_vertex, weight, weight * uy * uy),
+            jnp.where(res.is_vertex, weight, weight * ux * ux),
+            jnp.where(res.is_vertex, 0.0, -weight * ux * uy),
         )
         # Interior branch replaces the gradient with the cross-track form
         # (src/semiquadratic_polyline2_cost.cpp:126-135).

@@ -201,8 +201,33 @@ def concatenate_flat(
     A_cont_j = jnp.asarray(A_cont)
     B_cont_j = jnp.asarray(B_cont)
 
+    # Sparse scalar-unrolled vector field: integrator-chain rows have
+    # 1-2 nonzeros, and Pallas kernels trace this function in-kernel
+    # where Mosaic cannot capture array constants (ops/pallas/sweep.py).
+    rows_a = [
+        [(c, float(A_cont[r, c])) for c in range(xdim) if A_cont[r, c] != 0.0]
+        for r in range(xdim)
+    ]
+    rows_b = [
+        [
+            (p, c, float(B_cont[p, r, c]))
+            for p in range(len(models))
+            for c in range(umax)
+            if B_cont[p, r, c] != 0.0
+        ]
+        for r in range(xdim)
+    ]
+
     def ode(t, xi, vs):
-        return A_cont_j @ xi + jnp.einsum("pxu,pu->x", B_cont_j, vs)
+        outs = []
+        for r in range(xdim):
+            acc = xi[r] * 0.0
+            for c, a in rows_a[r]:
+                acc = acc + a * xi[c]
+            for p, c, b in rows_b[r]:
+                acc = acc + b * vs[p, c]
+            outs.append(acc)
+        return jnp.stack(outs)
 
     def constant_linearization(spec: GameSpec):
         # Forward-Euler discretization, matching the reference's

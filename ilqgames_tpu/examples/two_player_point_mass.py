@@ -23,12 +23,17 @@ COST_SCALE = 0.1
 
 
 def make_problem(dt=None, num_time_steps=None, x0=(1.0, 0.0)) -> Problem:
-    b1 = jnp.asarray(B1)
-    b2 = jnp.asarray(B2)
-    a = jnp.asarray(A_CONT)
+    # Scalar-unrolled ode (no captured array constants): Pallas kernels
+    # trace this function in-kernel and Mosaic cannot lower captured
+    # jnp constants (see ops/pallas/sweep.py).
+    b10, b11 = float(B1[0]), float(B1[1])
+    b20, b21 = float(B2[0]), float(B2[1])
 
     def ode(t, x, us):
-        return a @ x + b1 * us[0, 0] + b2 * us[1, 0]
+        return jnp.stack([
+            x[1] + b10 * us[0, 0] + b20 * us[1, 0],
+            b11 * us[0, 0] + b21 * us[1, 0],
+        ])
 
     dyn = MultiPlayerDynamics(
         name="two_player_point_mass", xdims=(2, 0), udims=(1, 1), ode=ode,

@@ -9,11 +9,19 @@ Replicates, in-kernel, the two horizon scans of the iterative solver:
 
 One kernel template serves both: a rollout is a sweep with one candidate,
 no merit accumulation, and trajectory emission on. Candidate stepsizes
-ride the sublane axis next to the state ([C, x, B] slabs); the batch
-stays in lanes. Dynamics and cost-gradient code is NOT reimplemented —
-the per-instance `dyn.ode` / `stage_gradients_core` functions are
-double-vmapped (candidates x lanes) inside the kernel, so semantics match
-the scan path by construction.
+ride the sublane axis next to the state ([x, C, B] slabs, state-major);
+the batch stays in lanes. Dynamics and cost-gradient code is NOT
+reimplemented — the per-instance `dyn.ode` / `stage_gradients_core`
+functions are double-vmapped (candidates x lanes) inside the kernel, so
+semantics match the scan path by construction.
+
+VMEM-resident: the whole horizon for one batch block (~7 MB of reference
+trajectory + strategy at N=100, Bb=128) fits comfortably in VMEM, so the
+grid is batch blocks only and one `fori_loop` walks all N knots with no
+per-time-block DMA or grid bookkeeping. Measured floor (tools/
+kernel_floor.py): an in-kernel RK4+feedback step costs ~4 us at Bb=128 —
+the previous time-streamed formulation paid ~80 us/step in grid/DMA
+overhead for the same math.
 """
 
 from __future__ import annotations
@@ -41,8 +49,7 @@ def _time_block(n: int, cap: int = 16) -> int:
 
 
 def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
-                 nC: int, compute_merit: bool, emit_traj: bool,
-                 Tb: int = 1):
+                 nC: int, compute_merit: bool, emit_traj: bool, N: int):
     P = spec.num_players
     x = spec.xdim
     u = spec.umax
@@ -60,7 +67,9 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         cc_off = np.cumsum([0] + n_cc)
 
         def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
-            """Double-vmapped stage gradients: candidates x lanes."""
+            """Double-vmapped stage gradients over state-major
+            [x, C, B] layouts (candidates on axis 1): l [P, xd, C, B],
+            r [P, u, C, B]."""
             def core(tt, xx, uu, ls, lc, m):
                 return pcost.stage_gradients_core(
                     player_costs, spec, ls, lc, m, tt, xx, uu
@@ -68,16 +77,21 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
 
             inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
                              out_axes=-1)
-            outer = jax.vmap(inner, in_axes=(None, 0, 0, None, None, None),
-                             out_axes=0)
+            outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
+                             out_axes=2)
             return outer(t, x_cb, us_cb, lamS, lamC, mu)
 
     def integ_cb(t, x_cb, us_cb):
+        """RK4 step on [x, C, B] state / [P, u, C, B] controls. The
+        state dim stays OUTERMOST so every per-dimension access inside
+        the traced dynamics is a contiguous sublane row group — the
+        candidate-inner layout ([C, x, B]) made each one a strided
+        sublane shuffle (~4x slower end to end)."""
         def one(tt, xx, uu):
             return dyn_base.integrate(dyn, tt, dt, xx, uu)
 
         inner = jax.vmap(one, in_axes=(0, -1, -1), out_axes=-1)
-        outer = jax.vmap(inner, in_axes=(None, 0, 0), out_axes=0)
+        outer = jax.vmap(inner, in_axes=(None, 1, 2), out_axes=1)
         return outer(t, x_cb, us_cb)
 
     def kernel(*refs):
@@ -96,53 +110,46 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         merit_ref = next(it) if compute_merit else None
         xso_ref = next(it) if emit_traj else None
         uso_ref = next(it) if emit_traj else None
-        xcur = next(it)  # scratch [C, x, Bb]
+        xcur = next(it)  # scratch [x, C, Bb]
 
-        s = pl.program_id(1)
-
-        @pl.when(s == 0)
-        def _init():
-            xcur[...] = jnp.broadcast_to(
-                x0_ref[...][None], (C,) + x0_ref.shape
-            )
-            if compute_merit:
-                merit_ref[...] = jnp.zeros_like(merit_ref)
+        xcur[...] = jnp.broadcast_to(
+            x0_ref[...][:, None, :],
+            (x0_ref.shape[0], C, x0_ref.shape[1]),
+        )
+        if compute_merit:
+            merit_ref[...] = jnp.zeros_like(merit_ref)
 
         scal = scal_ref[...]                  # [C, B]
 
-        # Tb knots per grid step: block streams land in VMEM once, the
-        # fori_loop walks them with dynamic in-block reads — grid/DMA
-        # bookkeeping amortizes over the whole block.
-        def step(i, _):
-            k = s * Tb + i                    # global knot (traced)
-            x_c = xcur[...]                   # [C, x, B]
-            x_ref_k = xs_ref[pl.ds(i, 1)][0]  # [x, B]
-            u_ref_k = us_ref[pl.ds(i, 1)][0]  # [Pu, B]
-            P_k = Ps_ref[pl.ds(i, 1)][0]      # [Pu, x, B]
-            a_k = al_ref[pl.ds(i, 1)][0]      # [Pu, B]
+        def step(k, _):
+            x_c = xcur[...]                   # [x, C, B] (state-major)
+            x_ref_k = xs_ref[pl.ds(k, 1)][0]  # [x, B]
+            u_ref_k = us_ref[pl.ds(k, 1)][0]  # [Pu, B]
+            P_k = Ps_ref[pl.ds(k, 1)][0]      # [Pu, x, B]
+            a_k = al_ref[pl.ds(k, 1)][0]      # [Pu, B]
             t = t0_ref[0] + k.astype(jnp.float32) * dt  # [B]
 
-            delta = x_c - x_ref_k[None]       # [C, x, B]
+            delta = x_c - x_ref_k[:, None, :]  # [x, C, B]
             us_rows = []
             for af in range(Pu):
-                acc = P_k[af, 0][None, :] * delta[:, 0]
+                acc = P_k[af, 0][None, :] * delta[0]
                 for xx in range(1, x):
-                    acc = acc + P_k[af, xx][None, :] * delta[:, xx]
+                    acc = acc + P_k[af, xx][None, :] * delta[xx]
                 row = (u_ref_k[af][None, :] - acc - scal * a_k[af][None, :])
                 us_rows.append(row * float(u_mask_flat[af]))
-            us_flat = jnp.stack(us_rows, axis=1)  # [C, Pu, B]
-            us_cb = us_flat.reshape(C, P, u, us_flat.shape[-1])
+            us_flat = jnp.stack(us_rows, axis=0)  # [Pu, C, B]
+            us_cb = us_flat.reshape(P, u, C, us_flat.shape[-1])
 
             if compute_merit:
                 lamS = tuple(
-                    lamS_ref[pl.ds(i, 1)][0, sc_off[p_]:sc_off[p_ + 1]]
+                    lamS_ref[pl.ds(k, 1)][0, sc_off[p_]:sc_off[p_ + 1]]
                     for p_ in range(P)
                 ) if nS > 0 else tuple(
                     jnp.zeros((0, x_c.shape[-1]), jnp.float32)
                     for _ in range(P)
                 )
                 lamC = tuple(
-                    lamC_ref[pl.ds(i, 1)][0, cc_off[p_]:cc_off[p_ + 1]]
+                    lamC_ref[pl.ds(k, 1)][0, cc_off[p_]:cc_off[p_ + 1]]
                     for p_ in range(P)
                 ) if nC > 0 else tuple(
                     jnp.zeros((0, x_c.shape[-1]), jnp.float32)
@@ -150,24 +157,24 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                 )
                 mu = mu_ref[0]                # [B]
                 l_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
-                # l_cb [C, P, xd, B]; gate [P, B]
-                gate_k = gate_ref[pl.ds(i, 1)][0]
-                l_g = l_cb * gate_k[None, :, None, :]
-                state_term = jnp.sum(l_g * l_g, axis=(1, 2))  # [C, B]
-                ctrl_term = jnp.sum(r_cb * r_cb, axis=(1, 2))
+                # l_cb [P, xd, C, B]; gate [P, B]
+                gate_k = gate_ref[pl.ds(k, 1)][0]
+                l_g = l_cb * gate_k[:, None, None, :]
+                state_term = jnp.sum(l_g * l_g, axis=(0, 1))  # [C, B]
+                ctrl_term = jnp.sum(r_cb * r_cb, axis=(0, 1))
                 inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
                 merit_ref[...] = merit_ref[...] + inc
 
             if emit_traj:
-                xso_ref[pl.ds(i, 1)] = x_c.reshape(
-                    1, C * x, x_c.shape[-1])
-                uso_ref[pl.ds(i, 1)] = us_flat.reshape(
-                    1, C * Pu, us_flat.shape[-1])
+                xso_ref[pl.ds(k, 1)] = x_c.reshape(
+                    1, x * C, x_c.shape[-1])
+                uso_ref[pl.ds(k, 1)] = us_flat.reshape(
+                    1, Pu * C, us_flat.shape[-1])
 
             xcur[...] = integ_cb(t, x_c, us_cb)
             return 0
 
-        jax.lax.fori_loop(0, Tb, step, 0)
+        jax.lax.fori_loop(0, N, step, 0)
 
     return kernel
 
@@ -175,7 +182,12 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
 def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
          al_lamS, al_lamC, mu, gate, compute_merit, emit_traj,
          batch_block, interpret):
-    """Shared driver. All array args batch-minor and lane-padded."""
+    """Shared driver. All array args batch-minor and lane-padded.
+
+    Grid is batch blocks ONLY: every operand's full horizon lands in VMEM
+    once per block and the kernel walks all N knots in one fori_loop
+    (dynamic in-VMEM slicing). Pallas double-buffers the next batch
+    block's DMA behind the current block's compute."""
     N = spec.num_time_steps
     P = spec.num_players
     x = spec.xdim
@@ -188,35 +200,28 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
     nS = al_lamS.shape[1] if (compute_merit and al_lamS is not None) else 0
     nC = al_lamC.shape[1] if (compute_merit and al_lamC is not None) else 0
 
-    # Knots per grid step: capped both by divisibility and by the
-    # double-buffered block footprint (trajectory emission at many
-    # candidates makes per-knot blocks large).
-    knot_bytes = 4 * Bb * (x + Pu + Pu * x + Pu + P + nS + nC
-                           + (C * (x + Pu) if emit_traj else 0))
-    cap = max(1, min(16, (4 * 1024 * 1024) // max(knot_bytes, 1)))
-    Tb = _time_block(N, cap=cap)
-    fwd4 = lambda b, s: (s, 0, 0, b)
-    fwd3 = lambda b, s: (s, 0, b)
-    res = lambda b, s: (0, b)
+    whole3 = lambda b: (0, 0, b)
+    whole4 = lambda b: (0, 0, 0, b)
+    res = lambda b: (0, b)
 
     in_specs = [
-        pl.BlockSpec((Tb, x, Bb), fwd3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Tb, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Tb, Pu, x, Bb), fwd4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Tb, Pu, Bb), fwd3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, x, Bb), whole3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, Pu, Bb), whole3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, Pu, x, Bb), whole4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, Pu, Bb), whole3, memory_space=pltpu.VMEM),
     ]
     operands = [last_op["xs"], last_op["us"], strategy["Ps"],
                 strategy["alphas"]]
     if compute_merit:
-        in_specs.append(pl.BlockSpec((Tb, P, Bb), fwd3,
+        in_specs.append(pl.BlockSpec((N, P, Bb), whole3,
                                      memory_space=pltpu.VMEM))
         operands.append(gate)
         if nS > 0:
-            in_specs.append(pl.BlockSpec((Tb, nS, Bb), fwd3,
+            in_specs.append(pl.BlockSpec((N, nS, Bb), whole3,
                                          memory_space=pltpu.VMEM))
             operands.append(al_lamS)
         if nC > 0:
-            in_specs.append(pl.BlockSpec((Tb, nC, Bb), fwd3,
+            in_specs.append(pl.BlockSpec((N, nC, Bb), whole3,
                                          memory_space=pltpu.VMEM))
             operands.append(al_lamC)
         in_specs.append(pl.BlockSpec((1, Bb), res,
@@ -236,25 +241,25 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((C, B), jnp.float32))
     if emit_traj:
-        out_specs.append(pl.BlockSpec((Tb, C * x, Bb), fwd3,
+        out_specs.append(pl.BlockSpec((N, C * x, Bb), whole3,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, C * x, B), jnp.float32))
-        out_specs.append(pl.BlockSpec((Tb, C * Pu, Bb), fwd3,
+        out_specs.append(pl.BlockSpec((N, C * Pu, Bb), whole3,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, C * Pu, B), jnp.float32))
 
     kern = _make_kernel(dyn, player_costs, spec, C, nS, nC,
-                        compute_merit, emit_traj, Tb=Tb)
+                        compute_merit, emit_traj, N=N)
     outs = pl.pallas_call(
         kern,
-        grid=(nb, N // Tb),
+        grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((C, x, Bb), jnp.float32)],
-        # The merit sweep's autodiff temporaries (cost gradients x C
-        # candidates x Bb lanes) overflow the conservative 16M default
-        # scoped-vmem budget; v5e has headroom well beyond it.
+        scratch_shapes=[pltpu.VMEM((x, C, Bb), jnp.float32)],
+        # Whole-horizon resident blocks + the merit sweep's autodiff
+        # temporaries overflow the conservative 16M default scoped-vmem
+        # budget; v5e has headroom well beyond it.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -281,6 +286,24 @@ def _prep_common(spec, x0, last_op, strategy, Bb):
     }
     x0m = pad_batch(bm(x0), Bb)                                    # [x,B]
     return op, st, x0m
+
+
+def _prep_al(spec, al_state, extreme_gate, Bb):
+    """Batched ALState + gate -> padded batch-minor merit operands."""
+    lamS = None
+    if sum(l.shape[1] for l in al_state.state_lambdas) > 0:
+        # [Bt, nS, N] -> [N, nS, B]
+        lamS = pad_batch(
+            bm(jnp.concatenate(al_state.state_lambdas, axis=1)
+               ).transpose(1, 0, 2), Bb)
+    lamC = None
+    if sum(l.shape[1] for l in al_state.control_lambdas) > 0:
+        lamC = pad_batch(
+            bm(jnp.concatenate(al_state.control_lambdas, axis=1)
+               ).transpose(1, 0, 2), Bb)
+    mu = pad_batch(bm(al_state.mu)[None], Bb)                      # [1,B]
+    gate = pad_batch(bm(extreme_gate), Bb)                         # [N,P,B]
+    return lamS, lamC, mu, gate
 
 
 @functools.partial(
@@ -317,7 +340,7 @@ def rollout_pallas(
         compute_merit=False, emit_traj=True,
         batch_block=batch_block, interpret=interpret,
     )
-    xs = mb(xs_r, Bt)                       # [Bt, N, x]
+    xs = mb(xs_r, Bt)                       # [Bt, N, x]  (C == 1)
     us = mb(us_r, Bt).reshape(Bt, N, P, u)
     return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
 
@@ -325,7 +348,7 @@ def rollout_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("dyn", "player_costs", "spec", "batch_block",
-                     "interpret"),
+                     "interpret", "cand_chunk"),
 )
 def sweep_merits_pallas(
     dyn,
@@ -339,44 +362,41 @@ def sweep_merits_pallas(
     extreme_gate: jnp.ndarray,  # [Bt, N, P]
     batch_block: int = 128,
     interpret: bool = False,
+    cand_chunk: int = 8,
 ) -> jnp.ndarray:
     """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
-    gated stage gradients along each candidate's rollout)."""
-    N = spec.num_time_steps
+    gated stage gradients along each candidate's rollout). No trajectory
+    emission — the selected candidate is re-rolled by `rollout_pallas`
+    with per-lane `scal` (an in-kernel rollout costs ~0.4 ms/block, far
+    below the HBM cost of emitting every candidate's trajectory).
+
+    Candidates are processed in equal sublane-aligned chunks: one kernel
+    shape -> ONE Mosaic compile, reused across chunks (a single very wide
+    kernel blows Mosaic compile time past 20 minutes)."""
     Bt = x0.shape[0]
     Bb = batch_block
     op, st, x0m = _prep_common(spec, x0, last_op, strategy, Bb)
     B = op["xs"].shape[-1]
     C = scalings.shape[0]
-    scal_cb = jnp.broadcast_to(scalings[:, None], (C, B))
+    lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
-    nS_list = [lams.shape[1] for lams in al_state.state_lambdas]
-    nC_list = [lams.shape[1] for lams in al_state.control_lambdas]
-    lamS = None
-    if sum(nS_list) > 0:
-        # [Bt, nS, N] -> [N, nS, B]
-        lamS = pad_batch(
-            bm(jnp.concatenate(al_state.state_lambdas, axis=1)
-               ).transpose(1, 0, 2), Bb)
-    lamC = None
-    if sum(nC_list) > 0:
-        lamC = pad_batch(
-            bm(jnp.concatenate(al_state.control_lambdas, axis=1)
-               ).transpose(1, 0, 2), Bb)
-    mu = pad_batch(bm(al_state.mu)[None], Bb)                      # [1,B]
-    gate = pad_batch(bm(extreme_gate), Bb)                         # [N,P,B]
-
-    (merits,) = _run(
-        dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC, mu,
-        gate, compute_merit=True, emit_traj=False,
-        batch_block=Bb, interpret=interpret,
-    )
-    return 0.5 * mb(merits, Bt)             # [Bt, C]
+    Cc = _time_block(C, cap=cand_chunk)
+    parts = []
+    for c0 in range(0, C, Cc):
+        scal_cb = jnp.broadcast_to(scalings[c0:c0 + Cc, None], (Cc, B))
+        (merits,) = _run(
+            dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC,
+            mu, gate, compute_merit=True, emit_traj=False,
+            batch_block=Bb, interpret=interpret,
+        )
+        parts.append(merits)
+    return 0.5 * mb(jnp.concatenate(parts, axis=0), Bt)  # [Bt, C]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dyn", "spec", "batch_block", "interpret"),
+    static_argnames=("dyn", "spec", "batch_block", "interpret",
+                     "cand_chunk"),
 )
 def rollout_candidates_pallas(
     dyn,
@@ -387,17 +407,11 @@ def rollout_candidates_pallas(
     scalings: jnp.ndarray,    # [C] candidate alpha scalings
     batch_block: int = 128,
     interpret: bool = False,
+    cand_chunk: int = 8,
 ):
-    """Roll out EVERY candidate stepsize in one kernel pass and emit all
-    trajectories: (xs [Bt, N, C, x], us [Bt, N, C, P, u]).
-
-    This is the first half of the all-candidates linesearch: candidates
-    ride the sublane axis, so evaluating the whole ladder costs barely
-    more than one rollout (the kernel is op-issue-bound, not flop-bound).
-    Merits are then computed in one parallel XLA pass over (N, C, B) —
-    no sequential dependence — and selection is the same first-Armijo-
-    pass rule as the reference's backtracking loop
-    (src/ilq_solver.cpp:325-343)."""
+    """Roll out EVERY candidate stepsize and emit all trajectories:
+    (xs [Bt, N, C, x], us [Bt, N, C, P, u]). Candidates ride the sublane
+    axis in equal chunks (one Mosaic compile, reused)."""
     N = spec.num_time_steps
     P = spec.num_players
     u = spec.umax
@@ -406,13 +420,21 @@ def rollout_candidates_pallas(
     Bt = x0.shape[0]
     op, st, x0m = _prep_common(spec, x0, last_op, strategy, batch_block)
     B = op["xs"].shape[-1]
-    scal_cb = jnp.broadcast_to(scalings[:, None], (C, B))
 
-    xs_r, us_r = _run(
-        dyn, None, spec, x0m, op, st, scal_cb, None, None, None, None,
-        compute_merit=False, emit_traj=True,
-        batch_block=batch_block, interpret=interpret,
-    )
-    xs = mb(xs_r.reshape(N, C, x, B), Bt)          # [Bt, N, C, x]
-    us = mb(us_r.reshape(N, C, P, u, B), Bt)       # [Bt, N, C, P, u]
+    Cc = _time_block(C, cap=cand_chunk)
+    xs_parts, us_parts = [], []
+    for c0 in range(0, C, Cc):
+        scal_cb = jnp.broadcast_to(
+            scalings[c0:c0 + Cc, None], (Cc, B))
+        xs_r, us_r = _run(
+            dyn, None, spec, x0m, op, st, scal_cb, None, None, None,
+            None, compute_merit=False, emit_traj=True,
+            batch_block=batch_block, interpret=interpret,
+        )
+        xs_parts.append(
+            xs_r.reshape(N, x, Cc, B).transpose(0, 2, 1, 3))
+        us_parts.append(
+            us_r.reshape(N, P, u, Cc, B).transpose(0, 3, 1, 2, 4))
+    xs = mb(jnp.concatenate(xs_parts, axis=1), Bt)   # [Bt, N, C, x]
+    us = mb(jnp.concatenate(us_parts, axis=1), Bt)   # [Bt, N, C, P, u]
     return xs, us

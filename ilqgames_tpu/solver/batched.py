@@ -31,8 +31,8 @@ import jax.numpy as jnp
 from ilqgames_tpu.costs import player_cost as pcost
 from ilqgames_tpu.dynamics import base as dyn_base
 from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
-from ilqgames_tpu.ops.pallas.sweep import rollout_candidates_pallas, \
-    rollout_pallas
+from ilqgames_tpu.ops.pallas.sweep import rollout_pallas, \
+    sweep_merits_pallas
 from ilqgames_tpu.solver import ilq
 from ilqgames_tpu.solver.al import ALResult, constraint_violations, \
     max_constraint_violation
@@ -60,39 +60,6 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
     )(op, al, extreme_ks)
 
 
-def _merits_all(player_costs, spec, al_state, gate, t0, xs_cand, us_cand):
-    """Merit of EVERY linesearch candidate: [Bt, Cp]. 0.5 * sum over
-    knots of squared (gated) stage gradients along each candidate's
-    rollout — the reference merit function (src/ilq_solver.cpp:404-435)
-    evaluated for the whole backtracking ladder in one parallel pass
-    (no sequential dependence once trajectories exist)."""
-    N = spec.num_time_steps
-    ks = jnp.arange(N)
-
-    def one(xs_c, us_c, lamS, lamC, mu, gate_b, t0_b):
-        lamS_k = tuple(l.T for l in lamS)   # per player [N, n_i]
-        lamC_k = tuple(l.T for l in lamC)
-        ts = t0_b + ks.astype(jnp.float32) * spec.dt
-
-        def at_k(k, t, xsk, usk, lS, lC, g):
-            def percand(xc, uc):
-                return pcost.stage_gradients_core(
-                    player_costs, spec, lS, lC, mu, t, xc, uc)
-
-            l, r = jax.vmap(percand)(xsk, usk)  # [Cp,P,xd], [Cp,P,u]
-            l = l * g[None, :, None]
-            state = jnp.where(k > 0, jnp.sum(l * l, axis=(1, 2)), 0.0)
-            ctrl = jnp.sum(r * r, axis=(1, 2))
-            return ctrl + state                  # [Cp]
-
-        contrib = jax.vmap(at_k)(ks, ts, xs_c, us_c, lamS_k, lamC_k,
-                                 gate_b)         # [N, Cp]
-        return 0.5 * jnp.sum(contrib, axis=0)
-
-    return jax.vmap(one)(xs_cand, us_cand, al_state.state_lambdas,
-                         al_state.control_lambdas, al_state.mu, gate, t0)
-
-
 def _extreme_gate_b(player_costs, spec, extreme_ks):
     """[B, N, P] gate: 1 everywhere for additive players, one-hot at the
     extreme knot for extremal structures (src/ilq_solver.cpp:483-487)."""
@@ -110,9 +77,16 @@ def _extreme_gate_b(player_costs, spec, extreme_ks):
 
 
 def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
-                           *, batch_block=128, interpret=False):
+                           *, active=None, batch_block=128,
+                           interpret=False, stage1_cands=8,
+                           return_stats=False):
     """ONE iLQ iteration for a whole batch (the batch-level twin of
-    ilq.iteration_step; reference src/ilq_solver.cpp:123-165)."""
+    ilq.iteration_step; reference src/ilq_solver.cpp:123-165).
+
+    `active` ([Bt] bool, optional) marks lanes whose results will be
+    kept by the caller; lanes outside it cannot force the expensive
+    stage-2 linesearch escalation (their outputs are discarded anyway).
+    """
     if params.open_loop:
         raise ValueError("Pallas batched path supports feedback LQ only")
     Bt = x0.shape[0]
@@ -150,33 +124,62 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     )
     gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
 
-    # ALL-CANDIDATES linesearch: one kernel pass rolls out the entire
-    # geometric ladder (candidates ride the sublane axis — nearly free
-    # width), one parallel XLA pass computes every merit, and selection
-    # is the same first-Armijo-pass rule as the reference's sequential
-    # backtracking (src/ilq_solver.cpp:325-343). This makes linesearch
-    # cost independent of how many candidates lanes reject — the
-    # tranche-loop formulation paid a full sweep per tranche whenever
-    # any lane kept backtracking.
-    Cp = -(-n_cand // 8) * 8  # sublane-aligned candidate count
+    # STAGED all-candidates linesearch. Selection is the same
+    # first-Armijo-pass rule as the reference's sequential backtracking
+    # (src/ilq_solver.cpp:325-343), evaluated in parallel: stage 1
+    # sweeps the first `stage1_cands` stepsizes of the geometric ladder
+    # (merits computed in-kernel, no trajectory emission); only if some
+    # ACTIVE lane rejects all of them does a lax.cond fire the sweep of
+    # the remaining ladder. Lanes almost always accept within the first
+    # few candidates or reject the whole ladder, so the common-case cost
+    # is one short sweep instead of max_backtracking_steps rollouts.
+    C1 = min(stage1_cands, n_cand)
+    n2 = n_cand - C1
+    C2 = -(-n2 // 8) * 8 if n2 > 0 else 0  # sublane-aligned stage 2
+    Cp = C1 + C2
     pad = Cp - n_cand
     scal_full = jnp.concatenate(
         [scalings, jnp.full((pad,), scalings[-1], jnp.float32)])
     valid = jnp.arange(Cp) < n_cand
 
-    xs_cand, us_cand = rollout_candidates_pallas(
-        dyn, spec, x0, last_op, lqsol.strategy, scal_full,
+    merits1 = sweep_merits_pallas(
+        dyn, player_costs, spec, x0, last_op, lqsol.strategy,
+        scal_full[:C1], al_state, gate,
         batch_block=batch_block, interpret=interpret,
-    )  # [Bt, N, Cp, x], [Bt, N, Cp, P, u]
-    merits = _merits_all(
-        player_costs, spec, al_state, gate, last_op.t0, xs_cand, us_cand,
-    )  # [Bt, Cp]
+    )  # [Bt, C1]
 
-    ok = (
-        (c.last_merit[:, None] - merits)
-        >= params.expected_decrease_fraction * scal_full[None, :]
-        * expected_decrease[:, None]
-    ) & valid[None, :]
+    def armijo(merits, scal_c):
+        return (
+            (c.last_merit[:, None] - merits)
+            >= params.expected_decrease_fraction * scal_c[None, :]
+            * expected_decrease[:, None]
+        )
+
+    ok1 = armijo(merits1, scal_full[:C1])
+    passed1 = jnp.any(ok1, axis=1)
+    used_stage2 = jnp.zeros((), bool)
+    if C2 > 0:
+        need2 = ~passed1
+        if active is not None:
+            need2 = need2 & active
+        used_stage2 = jnp.any(need2)
+        merits2 = jax.lax.cond(
+            used_stage2,
+            lambda: sweep_merits_pallas(
+                dyn, player_costs, spec, x0, last_op, lqsol.strategy,
+                scal_full[C1:], al_state, gate,
+                batch_block=batch_block, interpret=interpret,
+            ),
+            lambda: jnp.full((Bt, C2), jnp.inf, jnp.float32),
+        )
+        merits = jnp.concatenate([merits1, merits2], axis=1)
+        ok = jnp.concatenate(
+            [ok1, armijo(merits2, scal_full[C1:])], axis=1,
+        ) & valid[None, :]
+    else:
+        merits = merits1
+        ok = ok1 & valid[None, :]
+
     passed = jnp.any(ok, axis=1)
     idx = jnp.argmax(ok, axis=1)
     scal_sel = jnp.where(passed, scal_full[idx], scalings[0])
@@ -188,13 +191,12 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     strategy_sel = lqsol.strategy.replace(
         alphas=lqsol.strategy.alphas * scal_sel[:, None, None, None]
     )
-    # The selected candidate's trajectory IS its rollout (bitwise — the
-    # kernel computed it); gather it instead of re-rolling.
-    onehot = jax.nn.one_hot(idx, Cp, dtype=jnp.float32)
-    op_sel = OperatingPoint(
-        xs=jnp.einsum("bncx,bc->bnx", xs_cand, onehot),
-        us=jnp.einsum("bncpu,bc->bnpu", us_cand, onehot),
-        t0=last_op.t0,
+    # Re-roll ONLY the selected candidate (per-lane scal): an in-kernel
+    # rollout is far cheaper than emitting every candidate's trajectory
+    # to HBM (1.7 GB at C=104, B=256) and gathering from it.
+    op_sel = rollout_pallas(
+        dyn, spec, x0, last_op, lqsol.strategy, scal=scal_sel,
+        batch_block=batch_block, interpret=interpret,
     )
     quad_sel = _quad_b(player_costs, spec, op_sel, al_state, c.extreme_ks)
 
@@ -203,7 +205,7 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
     )
     totals, extreme_ks = _totals_b(player_costs, spec, op_sel)
-    return ilq._SolveCarry(
+    out = ilq._SolveCarry(
         op=_bwhere(passed, op_sel, c.op),
         strategy=_bwhere(passed, strategy_sel, c.strategy),
         quad=_bwhere(passed, quad_sel, c.quad),
@@ -213,6 +215,10 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         converged=converged,
         failed=failed,
     )
+    if return_stats:
+        return out, {"passed": passed, "idx": idx,
+                     "used_stage2": used_stage2}
+    return out
 
 
 def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
@@ -239,7 +245,7 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
     """One trip of the flat machine, batch-level (twin of fused._trip)."""
     c2 = iteration_step_batched(
         dyn, player_costs, spec, params, x0, fc.al, fc.c,
-        batch_block=batch_block, interpret=interpret,
+        active=~fc.done, batch_block=batch_block, interpret=interpret,
     )
     inner_iters = fc.inner_iters + 1
     cum_iters = fc.cum_iters + 1
@@ -256,11 +262,6 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
     )
     al_base = _bwhere(c2.failed, al_failed, al_pre)
 
-    al_inc, violation_new = jax.vmap(
-        lambda o, a: constraint_violations(player_costs, spec, o, a)
-    )(c2.op, al_base)
-    al_inc = al_inc.replace(mu=al_inc.mu * params.geometric_mu_scaling)
-
     continuing = (cum_iters < params.max_solver_iters) & (
         fc.violation > params.constraint_error_tolerance
     )
@@ -270,12 +271,31 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
     warm_op = _bwhere(adv, c2.op, fc.warm_op)
     warm_strategy = _bwhere(adv, c2.strategy, fc.warm_strategy)
 
-    c3 = _init_inner_batched(
-        dyn, player_costs, spec, x0, warm_op, warm_strategy, al_inc,
-        c2.last_merit, batch_block=batch_block, interpret=interpret,
-    )
-
     reinit = inner_end & continuing
+
+    # The AL update + inner re-initialization (a rollout + quadraticize)
+    # only matters on trips where some lane crosses an inner-solve
+    # boundary — with a 10-iteration inner budget that is <=1 trip in
+    # 10 in steady state, so the whole block sits behind a cond. Done
+    # lanes never have reinit set (their violation/budget freeze them),
+    # so no active-mask is needed here.
+    def do_reinit(_):
+        al_inc, violation_new = jax.vmap(
+            lambda o, a: constraint_violations(player_costs, spec, o, a)
+        )(c2.op, al_base)
+        al_inc = al_inc.replace(mu=al_inc.mu * params.geometric_mu_scaling)
+        c3 = _init_inner_batched(
+            dyn, player_costs, spec, x0, warm_op, warm_strategy, al_inc,
+            c2.last_merit, batch_block=batch_block, interpret=interpret,
+        )
+        return c3, al_inc, violation_new
+
+    def skip_reinit(_):
+        return c2, fc.al, fc.violation
+
+    c3, al_inc, violation_new = jax.lax.cond(
+        jnp.any(reinit), do_reinit, skip_reinit, None)
+
     c_next = _bwhere(reinit, c3, c2)
     al_next = _bwhere(reinit, al_inc, _bwhere(c2.failed, al_failed, fc.al))
 
@@ -310,6 +330,22 @@ def _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
     )
 
 
+def _pad_args(args, m):
+    """Pad every arg's leading batch dim up to a multiple of m by
+    replicating lane 0 (a real, convergent instance — zero-padding can
+    spin the while loop on lanes that never converge). Batches that are
+    not lane-block multiples also tickle odd-shape XLA/Mosaic code paths
+    observed to fault on TPU (B=32 under shard_map); host-side padding
+    keeps every device program at the well-trodden aligned shapes."""
+    Bt = jax.tree_util.tree_leaves(args[0])[0].shape[0]
+    Bp = -(-Bt // m) * m
+    if Bp == Bt:
+        return args, Bt
+    pad1 = lambda a: jnp.concatenate(
+        [a, jnp.broadcast_to(a[:1], (Bp - Bt,) + a.shape[1:])])
+    return tuple(jax.tree_util.tree_map(pad1, a) for a in args), Bt
+
+
 def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
                  batch_block, interpret, mesh):
     """Shared host-stepped driver: `init(*args) -> _FusedCarry` (args[0]
@@ -330,7 +366,8 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
         def trip(x0_b, fc):
             c2 = iteration_step_batched(
                 dyn, player_costs, spec, params, x0_b, fc.al, fc.c,
-                batch_block=batch_block, interpret=interpret,
+                active=~fc.done, batch_block=batch_block,
+                interpret=interpret,
             )
             cum = fc.cum_iters + 1
             done_now = c2.converged | c2.failed | (
@@ -390,11 +427,13 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
         all_done = jax.jit(lambda fc: jnp.all(fc.done))
 
         def run(*args):
+            args, Bt = _pad_args(args, mesh.size * batch_block)
             args = tuple(jax.device_put(a, x0_sharding) for a in args)
             fc = init_for(len(args))(*args)
             while not bool(all_done(fc)):
                 fc = steps_j(args[0], fc)
-            return finalize_j(fc)
+            out = finalize_j(fc)
+            return jax.tree_util.tree_map(lambda a: a[:Bt], out)
 
         return run
 
@@ -404,10 +443,12 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
     all_done = jax.jit(lambda fc: jnp.all(fc.done))
 
     def run(*args):
+        args, Bt = _pad_args(args, batch_block)
         fc = init_j(*args)
         while not bool(all_done(fc)):
             fc = steps_j(args[0], fc)
-        return finalize_j(fc)
+        out = finalize_j(fc)
+        return jax.tree_util.tree_map(lambda a: a[:Bt], out)
 
     return run
 

@@ -149,6 +149,70 @@ def main():
 
     trip5 = jax.jit(trips)
     record(stage="trip_batched", s_per_step=round(timeit(trip5, fc0) / NS, 4))
+
+    # --- Ablations of iteration_step_batched's internals, each in the
+    # same 5-step serialized scan, feeding back a scalar so XLA can't
+    # dead-code or overlap the steps.
+    from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
+    from ilqgames_tpu.ops.pallas.sweep import rollout_pallas, \
+        sweep_merits_pallas
+    from ilqgames_tpu.solver import ilq
+
+    c = c0
+    gate = batched._extreme_gate_b(costs, spec, c.extreme_ks)
+    scalings = params.initial_alpha_scaling * (
+        params.geometric_alpha_scaling
+        ** jnp.arange(8, dtype=jnp.float32))
+
+    def seg_lq(x):
+        cop = c.op.replace(xs=c.op.xs + x[:, None, :] * 0)
+        lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(cop)
+        lqsol = solve_lq_feedback_pallas(
+            spec, lin, c.quad, x0b - cop.xs[:, 0],
+            adaptive_regularization=params.adaptive_regularization,
+            batch_block=128, interpret=False)
+        ed = jax.vmap(
+            lambda q, a, d: ilq._expected_decrease(spec, q, a, d)
+        )(c.quad, lqsol.strategy.alphas, lqsol.delta_xs)
+        return ed
+
+    record(stage="lin_lq_ed",
+           s_per_step=round(timeit(serial(seg_lq), x0b) / NS, 4))
+
+    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+    lqsol = solve_lq_feedback_pallas(
+        spec, lin, c.quad, x0b - c.op.xs[:, 0],
+        adaptive_regularization=params.adaptive_regularization,
+        batch_block=128, interpret=False)
+    jax.block_until_ready(lqsol.strategy.Ps)
+
+    def seg_sweep(x):
+        cop = c.op.replace(xs=c.op.xs + x[:, None, :] * 0)
+        return sweep_merits_pallas(
+            dyn, costs, spec, x0b, cop, lqsol.strategy, scalings,
+            al0, gate, batch_block=128, interpret=False)
+
+    record(stage="sweep8",
+           s_per_step=round(timeit(serial(seg_sweep), x0b) / NS, 4))
+
+    def seg_roll_quad(x):
+        cop = c.op.replace(xs=c.op.xs + x[:, None, :] * 0)
+        scal = jnp.full((B,), 0.1, jnp.float32)
+        op_sel = rollout_pallas(dyn, spec, x0b, cop, lqsol.strategy,
+                                scal=scal, batch_block=128,
+                                interpret=False)
+        quad = batched._quad_b(costs, spec, op_sel, al0, c.extreme_ks)
+        return quad
+
+    record(stage="rollout_quad",
+           s_per_step=round(timeit(serial(seg_roll_quad), x0b) / NS, 4))
+
+    def seg_bwhere(x):
+        mask = x[:, 0] > 0
+        return batched._bwhere(mask, c, c)
+
+    record(stage="bwhere_carry",
+           s_per_step=round(timeit(serial(seg_bwhere), x0b) / NS, 4))
     record(stage="done")
 
 
