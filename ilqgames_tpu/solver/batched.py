@@ -133,14 +133,21 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     # the remaining ladder. Lanes almost always accept within the first
     # few candidates or reject the whole ladder, so the common-case cost
     # is one short sweep instead of max_backtracking_steps rollouts.
-    C1 = min(stage1_cands, n_cand)
-    n2 = n_cand - C1
+    # f32 ladder cap: candidates past `linesearch_eval_cap` are bitwise
+    # identical to the last evaluated one (params.py rationale), so only
+    # the first n_eval merits are computed; Armijo still sees every
+    # candidate's own threshold below.
+    cap = params.linesearch_eval_cap
+    n_eval = min(n_cand, cap) if cap > 0 else n_cand
+    C1 = min(stage1_cands, n_eval)
+    n2 = n_eval - C1
     C2 = -(-n2 // 8) * 8 if n2 > 0 else 0  # sublane-aligned stage 2
     Cp = C1 + C2
-    pad = Cp - n_cand
+    pad = Cp - n_eval
     scal_full = jnp.concatenate(
-        [scalings, jnp.full((pad,), scalings[-1], jnp.float32)])
-    valid = jnp.arange(Cp) < n_cand
+        [scalings[:n_eval],
+         jnp.full((pad,), scalings[n_eval - 1], jnp.float32)])
+    valid = jnp.arange(Cp) < n_eval
 
     merits1 = sweep_merits_pallas(
         dyn, player_costs, spec, x0, last_op, lqsol.strategy,
@@ -173,18 +180,23 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             lambda: jnp.full((Bt, C2), jnp.inf, jnp.float32),
         )
         merits = jnp.concatenate([merits1, merits2], axis=1)
-        ok = jnp.concatenate(
-            [ok1, armijo(merits2, scal_full[C1:])], axis=1,
-        ) & valid[None, :]
     else:
         merits = merits1
-        ok = ok1 & valid[None, :]
+
+    # Extend the evaluated merits across the full ladder (constant past
+    # n_eval — see the cap rationale) and apply Armijo with every
+    # candidate's own threshold, exactly as full evaluation would.
+    merits_full = jnp.concatenate(
+        [merits[:, :n_eval],
+         jnp.broadcast_to(merits[:, n_eval - 1:n_eval],
+                          (Bt, n_cand - n_eval))], axis=1)
+    ok = armijo(merits_full, scalings)
 
     passed = jnp.any(ok, axis=1)
     idx = jnp.argmax(ok, axis=1)
-    scal_sel = jnp.where(passed, scal_full[idx], scalings[0])
+    scal_sel = jnp.where(passed, scalings[idx], scalings[0])
     merit_sel = jnp.where(
-        passed, jnp.take_along_axis(merits, idx[:, None], 1)[:, 0],
+        passed, jnp.take_along_axis(merits_full, idx[:, None], 1)[:, 0],
         c.last_merit,
     )
 

@@ -52,3 +52,17 @@ class SolverParams:
     # iterations that accept in the first tranche — the typical case — do
     # `chunk` rollouts of work instead of max_backtracking_steps.
     linesearch_chunk: int = 8
+
+    # f32 ladder cap (TPU-native knob; no reference analogue). The
+    # backtracking ladder alpha_k = alpha0 * s^k collapses numerically:
+    # by k ~ 25 (alpha ~ 3e-9) a candidate's controls u_ref - P dx -
+    # alpha*a are float32-identical to the alpha->0 limit, so every
+    # deeper candidate produces a bitwise-equal rollout and merit
+    # (verified per-trip on the flagship: merits constant from k<=25).
+    # The batched path therefore merit-evaluates only the first
+    # `linesearch_eval_cap` candidates and reuses the last evaluated
+    # merit for the rest — Armijo is still applied per-candidate with
+    # each k's own threshold, so selection is exactly what evaluating
+    # the full ladder would return. 0 disables the cap. 40 leaves a
+    # >= 2^14 margin below the observed collapse point.
+    linesearch_eval_cap: int = 40
