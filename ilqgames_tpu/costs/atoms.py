@@ -52,7 +52,11 @@ def quadratic(weight: float, dim: Optional[int], nominal: float = 0.0,
         d = v[dim] - nominal
         return 0.5 * weight * d * d
 
-    return Cost(name, evaluate, support=(dim,))
+    def grad_pairs(t, v):
+        # w*d == 2*fl(0.5w*d): bitwise-equal to autodiff of evaluate.
+        return [(dim, weight * (v[dim] - nominal))]
+
+    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs)
 
 
 def semiquadratic(weight: float, dim: int, threshold: float,
@@ -64,7 +68,12 @@ def semiquadratic(weight: float, dim: int, threshold: float,
         active = (diff > 0.0) if oriented_right else (diff < 0.0)
         return jnp.where(active, 0.5 * weight * diff * diff, 0.0)
 
-    return Cost(name, evaluate, support=(dim,))
+    def grad_pairs(t, v):
+        diff = v[dim] - threshold
+        active = (diff > 0.0) if oriented_right else (diff < 0.0)
+        return [(dim, jnp.where(active, weight * diff, 0.0))]
+
+    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs)
 
 
 def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,
@@ -75,7 +84,13 @@ def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,
         diff = _safe_hypot(v[dim1], v[dim2]) - nominal
         return 0.5 * weight * diff * diff
 
-    return Cost(name, evaluate, support=(dim1, dim2))
+    def grad_pairs(t, v):
+        norm = _safe_hypot(v[dim1], v[dim2])
+        ct = weight * (norm - nominal) / norm
+        return [(dim1, ct * v[dim1]), (dim2, ct * v[dim2])]
+
+    return Cost(name, evaluate, support=(dim1, dim2),
+                grad_pairs_fn=grad_pairs)
 
 
 def semiquadratic_norm(weight: float, dim1: int, dim2: int, threshold: float,
@@ -167,7 +182,21 @@ def proximity(weight: float, dims1: Tuple[int, int], dims2: Tuple[int, int],
         return jnp.where(delta_sq >= threshold_sq, 0.0,
                          0.5 * weight * gap * gap)
 
-    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2))
+    def grad_pairs(t, v):
+        dx = v[dims1[0]] - v[dims2[0]]
+        dy = v[dims1[1]] - v[dims2[1]]
+        delta_sq = dx * dx + dy * dy
+        dist = jnp.sqrt(jnp.maximum(delta_sq, _EPS))
+        gap = threshold - dist
+        live = (delta_sq >= _EPS) & (delta_sq < threshold_sq)
+        ct = jnp.where(live, -weight * gap / dist, 0.0)
+        px = ct * dx
+        py = ct * dy
+        return [(dims1[0], px), (dims1[1], py),
+                (dims2[0], -px), (dims2[1], -py)]
+
+    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2),
+                grad_pairs_fn=grad_pairs)
 
 
 def locally_convex_proximity(weight: float, dims1: Tuple[int, int],
@@ -303,8 +332,7 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         ssd = jnp.where(res.is_endpoint, 0.0, res.signed_sq_distance)
         return 0.5 * weight * jnp.abs(ssd)
 
-    def quad_fn(t, v):
-        d = v.shape[0]
+    def _scalars(v):
         q = jnp.array([v[xidx], v[yidx]])
         res = geometry.polyline_closest_point(pts, q)
 
@@ -328,7 +356,15 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         ddx = jnp.where(use_v, hv[0], hi[0]) * gate
         ddy = jnp.where(use_v, hv[1], hi[1]) * gate
         dxdy = jnp.where(use_v, hv[2], hi[2]) * gate
+        return dx, dy, ddx, ddy, dxdy
 
+    def grad_pairs(t, v):
+        dx, dy, _, _, _ = _scalars(v)
+        return [(xidx, dx), (yidx, dy)]
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
         grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
         hess = assemble_matrix(
             d,
@@ -336,7 +372,7 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn)
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
 
 
 def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
@@ -360,8 +396,7 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         val = 0.5 * weight * diff * diff
         return jnp.where(res.is_endpoint | ~_active(ssd), 0.0, val)
 
-    def quad_fn(t, v):
-        d = v.shape[0]
+    def _scalars(v):
         q = jnp.array([v[xidx], v[yidx]])
         res = geometry.polyline_closest_point(pts, q)
         ssd = res.signed_sq_distance
@@ -391,7 +426,15 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         ddx = hess_iv[0] * gate
         ddy = hess_iv[1] * gate
         dxdy = hess_iv[2] * gate
+        return dx, dy, ddx, ddy, dxdy
 
+    def grad_pairs(t, v):
+        dx, dy, _, _, _ = _scalars(v)
+        return [(xidx, dx), (yidx, dy)]
+
+    def quad_fn(t, v):
+        d = v.shape[0]
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
         grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
         hess = assemble_matrix(
             d,
@@ -399,7 +442,7 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn)
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
 
 
 def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
@@ -484,7 +527,10 @@ def nominal_path_length(weight: float, dim: int, nominal_speed: float,
         delta = v[dim] - t * nominal_speed
         return 0.5 * weight * delta * delta
 
-    return Cost(name, evaluate, support=(dim,))
+    def grad_pairs(t, v):
+        return [(dim, weight * (v[dim] - t * nominal_speed))]
+
+    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs)
 
 
 def curvature(weight: float, omega_idx: int, v_idx: int,
@@ -526,7 +572,14 @@ def final_time(inner: Cost, threshold_time: float,
         gate = jnp.asarray(t >= threshold_time, hess.dtype)
         return hess * gate, grad * gate
 
-    return Cost(name, evaluate, quad_fn)
+    def grad_pairs(t, v):
+        pairs = inner.gradient_pairs(t, v)
+        if pairs is None:
+            return None
+        gate = jnp.asarray(t >= threshold_time, jnp.float32)
+        return [(i, s * gate) for i, s in pairs]
+
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
 
 
 def extreme_value(costs: Sequence[Cost], is_min: bool,

@@ -70,6 +70,11 @@ class Cost:
     evaluate: Callable
     quad_fn: Optional[Callable] = None
     support: Optional[Tuple[int, ...]] = None
+    # Optional sparse gradient: (t, v) -> list[(dim, scalar)]. The merit
+    # path accumulates these pairs across a player's costs and assembles
+    # ONE dense vector per player, instead of one [d]-stack per cost —
+    # the stacks were the dominant op count in the Pallas sweep kernel.
+    grad_pairs_fn: Optional[Callable] = None
 
     def _restricted(self, t, v):
         # Stack-based reassembly (no scatters) so the trace runs unchanged
@@ -88,15 +93,27 @@ class Cost:
 
     def gradient(self, t, v):
         """Gradient alone (no Hessian work) — the merit path's primitive."""
+        pairs = self.gradient_pairs(t, v)
+        if pairs is not None:
+            return assemble_vector(v.shape[0], pairs, v[0])
         if self.quad_fn is not None:
             return self.quad_fn(t, v)[1]
+        return jax.grad(self.evaluate, argnums=1)(t, v)
+
+    def gradient_pairs(self, t, v):
+        """Sparse gradient as (dim, scalar) pairs, or None if only a
+        dense gradient is available (quad_fn without grad_pairs_fn, or
+        unrestricted autodiff)."""
+        if self.grad_pairs_fn is not None:
+            pp = self.grad_pairs_fn(t, v)
+            return None if pp is None else list(pp)
+        if self.quad_fn is not None:
+            return None
         if self.support is not None:
             f, sub = self._restricted(t, v)
             g = jax.grad(f)(sub)
-            return assemble_vector(
-                v.shape[0],
-                [(i, g[n]) for n, i in enumerate(self.support)], v[0])
-        return jax.grad(self.evaluate, argnums=1)(t, v)
+            return [(i, g[n]) for n, i in enumerate(self.support)]
+        return None
 
     def quadraticize(self, t, v):
         if self.quad_fn is not None:
@@ -134,6 +151,9 @@ class Constraint:
     is_equality: bool = False
     quad_fn: Optional[Callable] = None
     support: Optional[Tuple[int, ...]] = None
+    # Optional sparse AL gradient: (t, v, lam, mu) -> list[(dim, scalar)]
+    # — see Cost.grad_pairs_fn.
+    al_grad_pairs_fn: Optional[Callable] = None
 
     def effective_mu(self, g_val, lam, mu):
         """mu switches off for satisfied inactive inequalities
@@ -164,15 +184,26 @@ class Constraint:
 
     def gradient_al(self, t, v, lam, mu):
         """AL-term gradient alone (merit path)."""
+        pairs = self.gradient_al_pairs(t, v, lam, mu)
+        if pairs is not None:
+            return assemble_vector(v.shape[0], pairs, v[0])
         if self.quad_fn is not None:
             return self.quad_fn(t, v, lam, mu)[1]
+        return jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
+
+    def gradient_al_pairs(self, t, v, lam, mu):
+        """Sparse AL gradient as (dim, scalar) pairs, or None if only a
+        dense form exists."""
+        if self.al_grad_pairs_fn is not None:
+            pp = self.al_grad_pairs_fn(t, v, lam, mu)
+            return None if pp is None else list(pp)
+        if self.quad_fn is not None:
+            return None
         if self.support is not None:
             f, sub = self._restricted_al(t, v, lam, mu)
             g = jax.grad(f)(sub)
-            return assemble_vector(
-                v.shape[0],
-                [(i, g[n]) for n, i in enumerate(self.support)], v[0])
-        return jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
+            return [(i, g[n]) for n, i in enumerate(self.support)]
+        return None
 
     def quadraticize_al(self, t, v, lam, mu):
         """Gradient/Hessian of the AL term. Autodiff of evaluate_al yields

@@ -21,6 +21,15 @@ from ilqgames_tpu.costs.base import Constraint
 _EPS = 1e-12
 
 
+def _mu_eff_ineq(gval, lam, mu):
+    """Inequality effective mu (constraint/constraint.h:112-117): mu
+    switches off for satisfied, inactive constraints."""
+    from ilqgames_tpu.types import SMALL_NUMBER
+
+    inactive = (gval <= SMALL_NUMBER) & (jnp.abs(lam) <= SMALL_NUMBER)
+    return jnp.where(inactive, 0.0, mu)
+
+
 def single_dimension(dim: int, threshold: float, keep_below: bool,
                      name: str = "single_dimension") -> Constraint:
     """g = x[dim]-threshold (keep_below) or threshold-x[dim]
@@ -29,7 +38,13 @@ def single_dimension(dim: int, threshold: float, keep_below: bool,
     def g(t, v):
         return v[dim] - threshold if keep_below else threshold - v[dim]
 
-    return Constraint(name, g, is_equality=False, support=(dim,))
+    def al_grad_pairs(t, v, lam, mu):
+        gval = g(t, v)
+        ct = lam + _mu_eff_ineq(gval, lam, mu) * gval
+        return [(dim, ct if keep_below else -ct)]
+
+    return Constraint(name, g, is_equality=False, support=(dim,),
+                      al_grad_pairs_fn=al_grad_pairs)
 
 
 def affine_scalar(a, b: float, is_equality: bool,
@@ -87,8 +102,29 @@ def proximity(dims1: Tuple[int, int], dims2: Tuple[int, int], threshold: float,
         prox = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, _EPS))
         return s * (prox - threshold)
 
+    def al_grad_pairs(t, v, lam, mu):
+        """(lam + mu_eff*g) * dg with dg = s*(dx, dy, -dx, -dy)/prox —
+        the analytic form of autodiff through evaluate_al (the ~170-eqn
+        restricted-autodiff trace was the sweep kernel's biggest single
+        cost; this is ~20)."""
+        dx = v[dims1[0]] - v[dims2[0]]
+        dy = v[dims1[1]] - v[dims2[1]]
+        ssq = dx * dx + dy * dy
+        prox = jnp.sqrt(jnp.maximum(ssq, _EPS))
+        gval = s * (prox - threshold)
+        # Autodiff's maximum() rule zeroes the gradient when the clamp
+        # is active (ssq < _EPS) — replicated.
+        live = (ssq >= _EPS).astype(jnp.float32)
+        ct = (lam + _mu_eff_ineq(gval, lam, mu)
+              * gval) * s * live / prox
+        px = ct * dx
+        py = ct * dy
+        return [(dims1[0], px), (dims1[1], py),
+                (dims2[0], -px), (dims2[1], -py)]
+
     return Constraint(name, g, is_equality=False,
-                      support=tuple(dims1) + tuple(dims2))
+                      support=tuple(dims1) + tuple(dims2),
+                      al_grad_pairs_fn=al_grad_pairs)
 
 
 def polyline2_signed_distance(points, xidx: int, yidx: int, threshold: float,
@@ -121,4 +157,12 @@ def final_time(inner: Constraint, threshold_time: float,
         gate = (t >= threshold_time).astype(hess.dtype)
         return hess * gate, grad * gate
 
-    return Constraint(name, g, is_equality=inner.is_equality, quad_fn=quad_fn)
+    def al_grad_pairs(t, v, lam, mu):
+        pairs = inner.gradient_al_pairs(t, v, lam, mu)
+        if pairs is None:
+            return None
+        gate = (t >= threshold_time).astype(jnp.float32)
+        return [(i, s * gate) for i, s in pairs]
+
+    return Constraint(name, g, is_equality=inner.is_equality, quad_fn=quad_fn,
+                      al_grad_pairs_fn=al_grad_pairs)

@@ -132,23 +132,56 @@ def stage_gradients_core(player_costs, spec: GameSpec, lam_state_k,
     xd = spec.xdim
     um = spec.umax
 
+    from ilqgames_tpu.costs.base import assemble_vector
+
     ls = []
     rs = []
     for i, pc in enumerate(player_costs):
-        grad = jnp.zeros((xd,), jnp.float32)
+        # Sparse accumulation: collect every cost's (dim, scalar) pairs
+        # and assemble ONE [xd] stack per player — per-cost dense
+        # assembly was the dominant op count in the Pallas sweep kernel.
+        pairs = []
+        dense = None
         for c in pc.state_costs:
-            grad = grad + c.gradient(t, x)
+            pp = c.gradient_pairs(t, x)
+            if pp is not None:
+                pairs.extend(pp)
+            else:
+                g = c.gradient(t, x)
+                dense = g if dense is None else dense + g
         for ci, con in enumerate(pc.state_constraints):
-            grad = grad + con.gradient_al(t, x, lam_state_k[i][ci], mu)
+            pp = con.gradient_al_pairs(t, x, lam_state_k[i][ci], mu)
+            if pp is not None:
+                pairs.extend(pp)
+            else:
+                g = con.gradient_al(t, x, lam_state_k[i][ci], mu)
+                dense = g if dense is None else dense + g
+        grad = assemble_vector(xd, pairs, x[0])
+        if dense is not None:
+            grad = grad + dense
         ls.append(grad)
 
-        ug = jnp.zeros((um,), jnp.float32)
+        upairs = []
+        udense = None
         for jj, c in pc.control_costs:
             if jj == i:
-                ug = ug + c.gradient(t, us[i])
+                pp = c.gradient_pairs(t, us[i])
+                if pp is not None:
+                    upairs.extend(pp)
+                else:
+                    g = c.gradient(t, us[i])
+                    udense = g if udense is None else udense + g
         for ci, (jj, con) in enumerate(pc.control_constraints):
             if jj == i:
-                ug = ug + con.gradient_al(t, us[i], lam_ctrl_k[i][ci], mu)
+                pp = con.gradient_al_pairs(t, us[i], lam_ctrl_k[i][ci], mu)
+                if pp is not None:
+                    upairs.extend(pp)
+                else:
+                    g = con.gradient_al(t, us[i], lam_ctrl_k[i][ci], mu)
+                    udense = g if udense is None else udense + g
+        ug = assemble_vector(um, upairs, us[i, 0])
+        if udense is not None:
+            ug = ug + udense
         rs.append(ug)
 
     return jnp.stack(ls), jnp.stack(rs)

