@@ -328,13 +328,17 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
     pts = jnp.asarray(points, jnp.float32)
 
     def evaluate(t, v):
-        res = geometry.polyline_closest_point(pts, jnp.array([v[xidx], v[yidx]]))
+        # need_sign=False: only |ssd| is consumed, and Pallas gets no DCE.
+        res = geometry.polyline_closest_point(
+            pts, jnp.array([v[xidx], v[yidx]]), need_sign=False)
         ssd = jnp.where(res.is_endpoint, 0.0, res.signed_sq_distance)
         return 0.5 * weight * jnp.abs(ssd)
 
     def _scalars(v):
         q = jnp.array([v[xidx], v[yidx]])
-        res = geometry.polyline_closest_point(pts, q)
+        # Sign-free query: gradients/Hessians use only the closest point,
+        # segment frame, and vertex/endpoint flags (sign is dead here).
+        res = geometry.polyline_closest_point(pts, q, need_sign=False)
 
         # Vertex branch: isotropic quadratic pull toward the vertex.
         dxv = weight * (q[0] - res.point[0])

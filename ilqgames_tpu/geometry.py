@@ -102,7 +102,7 @@ def polyline_point_at(points: jnp.ndarray, route_pos: jnp.ndarray) -> jnp.ndarra
 
 
 def polyline_closest_point(
-    points: jnp.ndarray, query: jnp.ndarray
+    points: jnp.ndarray, query: jnp.ndarray, need_sign: bool = True
 ) -> ClosestPointResult:
     """Closest point on the polyline with the reference's exact semantics
     (src/polyline2.cpp ClosestPoint + src/line_segment2.cpp ClosestPoint):
@@ -114,6 +114,19 @@ def polyline_closest_point(
         polyline, the sign is re-derived from the side of the "shortcut"
         segment spanning the neighboring vertices;
       * is_endpoint flags closest points at the global polyline ends.
+
+    need_sign=False skips the sign and interior-vertex side-fix
+    arithmetic (which only ever flip the sign, never the magnitude) and
+    returns |signed_sq_distance| instead (~1/4 of the per-segment
+    trace), for consumers that only use the magnitude
+    (quadratic_polyline2: |ssd|, gradients, and the winner argmin are
+    all sign-free). Pallas kernels get no dead-code elimination (the
+    traced jaxpr is lowered verbatim by Mosaic), so the pruning must
+    happen at trace time. Both modes keep the reference's shipped
+    sgn(0) == 0 quirk (utils/types.h:158-160): an exactly-collinear
+    off-end candidate has signed sq distance 0 and can win the argmin —
+    on straight lanes this is routine (rollouts hold x constant), so it
+    is load-bearing behavior, not a corner case.
     """
     pts, segs = _static_segments(points)
     S = len(segs)
@@ -125,7 +138,6 @@ def polyline_closest_point(
         rx, ry = qx - p1[0], qy - p1[1]
         dot = rx * ux + ry * uy
         cross = rx * uy - ux * ry
-        cross_sign = jnp.sign(cross)
         sq_p1 = rx * rx + ry * ry
         r2x, r2y = qx - p2[0], qy - p2[1]
         sq_p2 = r2x * r2x + r2y * r2y
@@ -138,10 +150,22 @@ def polyline_closest_point(
                         jnp.where(ahead, p2[0], p1[0] + dot * ux))
         cpy = jnp.where(behind, p1[1],
                         jnp.where(ahead, p2[1], p1[1] + dot * uy))
-        ssd = jnp.where(
-            behind, cross_sign * sq_p1,
-            jnp.where(ahead, cross_sign * sq_p2, cross_sign * cross * cross),
-        )
+        abs_raw = jnp.where(
+            behind, sq_p1, jnp.where(ahead, sq_p2, cross * cross))
+        # |sgn(cross) * d^2|: the reference's sgn() is 0 at 0 (shipped
+        # utils/types.h:158-160), so exactly-collinear off-end candidates
+        # collapse to |ssd| = 0 and can win the argmin — replicated.
+        abs_ssd = jnp.where(cross == 0.0, 0.0, abs_raw)
+
+        if not need_sign:
+            cand.append(dict(
+                cpx=cpx, cpy=cpy, ssd=abs_ssd, is_vertex=is_seg_endpoint,
+                p1=p1, unit=(ux, uy),
+            ))
+            continue
+
+        cross_sign = jnp.sign(cross)
+        ssd = cross_sign * abs_ssd
 
         # Interior-vertex side fix via the shortcut segment
         # (polyline2.cpp:116-135): when the closest point is p1 of segment
