@@ -124,36 +124,31 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     )
     gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
 
-    # STAGED all-candidates linesearch. Selection is the same
+    # ADAPTIVE chunked all-candidates linesearch. Selection is the same
     # first-Armijo-pass rule as the reference's sequential backtracking
-    # (src/ilq_solver.cpp:325-343), evaluated in parallel: stage 1
-    # sweeps the first `stage1_cands` stepsizes of the geometric ladder
-    # (merits computed in-kernel, no trajectory emission); only if some
-    # ACTIVE lane rejects all of them does a lax.cond fire the sweep of
-    # the remaining ladder. Lanes almost always accept within the first
-    # few candidates or reject the whole ladder, so the common-case cost
-    # is one short sweep instead of max_backtracking_steps rollouts.
+    # (src/ilq_solver.cpp:325-343), evaluated in parallel: the geometric
+    # ladder is swept `stage1_cands` candidates at a time (merits
+    # computed in-kernel, no trajectory emission), and the loop stops as
+    # soon as every ACTIVE lane has an Armijo pass among the evaluated
+    # prefix — a lane's selected candidate is its FIRST pass, so later
+    # chunks can never change it, and lanes with no pass yet are exactly
+    # why the loop continues (decisions are identical to evaluating the
+    # whole ladder). Unevaluated merits stay +inf, which never passes
+    # Armijo. Hopeless lanes (reject everything) still force full
+    # evaluation — the reference pays the same 100 sequential rollouts.
     # f32 ladder cap: candidates past `linesearch_eval_cap` are bitwise
     # identical to the last evaluated one (params.py rationale), so only
     # the first n_eval merits are computed; Armijo still sees every
     # candidate's own threshold below.
     cap = params.linesearch_eval_cap
     n_eval = min(n_cand, cap) if cap > 0 else n_cand
-    C1 = min(stage1_cands, n_eval)
-    n2 = n_eval - C1
-    C2 = -(-n2 // 8) * 8 if n2 > 0 else 0  # sublane-aligned stage 2
-    Cp = C1 + C2
+    CH = min(stage1_cands, n_eval)
+    n_chunks = -(-n_eval // CH)
+    Cp = n_chunks * CH
     pad = Cp - n_eval
     scal_full = jnp.concatenate(
         [scalings[:n_eval],
          jnp.full((pad,), scalings[n_eval - 1], jnp.float32)])
-    valid = jnp.arange(Cp) < n_eval
-
-    merits1 = sweep_merits_pallas(
-        dyn, player_costs, spec, x0, last_op, lqsol.strategy,
-        scal_full[:C1], al_state, gate,
-        batch_block=batch_block, interpret=interpret,
-    )  # [Bt, C1]
 
     def armijo(merits, scal_c):
         return (
@@ -162,26 +157,32 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             * expected_decrease[:, None]
         )
 
-    ok1 = armijo(merits1, scal_full[:C1])
-    passed1 = jnp.any(ok1, axis=1)
-    used_stage2 = jnp.zeros((), bool)
-    if C2 > 0:
-        need2 = ~passed1
-        if active is not None:
-            need2 = need2 & active
-        used_stage2 = jnp.any(need2)
-        merits2 = jax.lax.cond(
-            used_stage2,
-            lambda: sweep_merits_pallas(
-                dyn, player_costs, spec, x0, last_op, lqsol.strategy,
-                scal_full[C1:], al_state, gate,
-                batch_block=batch_block, interpret=interpret,
-            ),
-            lambda: jnp.full((Bt, C2), jnp.inf, jnp.float32),
+    def sweep_chunk(i):
+        scal_i = jax.lax.dynamic_slice(scal_full, (i * CH,), (CH,))
+        return sweep_merits_pallas(
+            dyn, player_costs, spec, x0, last_op, lqsol.strategy,
+            scal_i, al_state, gate,
+            batch_block=batch_block, interpret=interpret,
         )
-        merits = jnp.concatenate([merits1, merits2], axis=1)
-    else:
-        merits = merits1
+
+    def ladder_cond(state):
+        i, buf = state
+        ok_i = armijo(buf, scal_full)
+        unhappy = ~jnp.any(ok_i, axis=1)
+        if active is not None:
+            unhappy = unhappy & active
+        return (i == 0) | ((i < n_chunks) & jnp.any(unhappy))
+
+    def ladder_body(state):
+        i, buf = state
+        m = sweep_chunk(i)
+        buf = jax.lax.dynamic_update_slice(buf, m, (0, i * CH))
+        return i + 1, buf
+
+    chunks_used, merits = jax.lax.while_loop(
+        ladder_cond, ladder_body,
+        (jnp.zeros((), jnp.int32), jnp.full((Bt, Cp), jnp.inf, jnp.float32)),
+    )
 
     # Extend the evaluated merits across the full ladder (constant past
     # n_eval — see the cap rationale) and apply Armijo with every
@@ -229,7 +230,7 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     )
     if return_stats:
         return out, {"passed": passed, "idx": idx,
-                     "used_stage2": used_stage2}
+                     "chunks_used": chunks_used}
     return out
 
 
