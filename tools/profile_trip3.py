@@ -61,11 +61,22 @@ def steps_fn(prm, K):
         return fc
     return jax.jit(f)
 
-# Advance 30 trips to a realistic mid-solve state.
+# Advance 30 trips to a realistic mid-solve state, collecting ladder
+# depth stats (chunks_used per trip) every 5 trips.
 fc = jax.jit(init)(x0)
-adv = steps_fn(params, 30)
-fc30 = adv(x0, fc)
+stats_j = jax.jit(lambda x0_b, fc: batched.iteration_step_batched(
+    dyn, pcs, spec, params, x0_b, fc.al, fc.c, active=~fc.done,
+    batch_block=128, interpret=False, return_stats=True))
+adv5 = steps_fn(params, 5)
+fcs = fc
+depths = []
+for k in range(6):
+    _, st = stats_j(x0, fcs)
+    depths.append(int(st["chunks_used"]))
+    fcs = adv5(x0, fcs)
+fc30 = fcs
 jax.block_until_ready(fc30.done)
+rec(stage="ladder_depths_trips_0_5_10_15_20_25", depths=depths)
 rec(stage="advanced30", done=int(jnp.sum(fc30.done)),
     inner=float(jnp.mean(fc30.inner_iters)),
     nan_lanes=int(jnp.sum(jnp.isnan(fc30.c.last_merit))),
