@@ -51,6 +51,11 @@ _TEMPLATE = """<!DOCTYPE html>
   <h4>cost vs iterate</h4>
   <canvas id="cc" width="280" height="160"></canvas>
   <p id="conv"></p>
+  <div id="inspwrap" style="display:none">
+   <h4>cost inspector (stage cost vs time)</h4>
+   <select id="pl"></select> <select id="cn"></select><br>
+   <canvas id="ci" width="280" height="160"></canvas>
+  </div>
  </div>
 </div>
 <script>
@@ -129,7 +134,49 @@ function draw() {{
   ccx.beginPath(); ccx.moveTo(xv, 0); ccx.lineTo(xv, cc.height);
   ccx.stroke();
 }}
-itS.oninput = draw; tkS.oninput = draw; draw();
+// ---- cost inspector (reference gui/cost_inspector.h:62-100): stage
+// value of one selected cost over the horizon at the current iterate.
+const plS = document.getElementById('pl'), cnS = document.getElementById('cn');
+const ci = document.getElementById('ci'), cix = ci.getContext('2d');
+function fillCostNames() {{
+  const p = +plS.value;
+  const names = Object.keys(D.stage_costs[0][p]);
+  cnS.innerHTML = names.map(n => `<option>${{n}}</option>`).join('');
+}}
+function drawInspector() {{
+  if (!D.stage_costs) return;
+  const it = +itS.value, k = +tkS.value, p = +plS.value;
+  const vals = D.stage_costs[it][p][cnS.value];
+  if (!vals) return;
+  cix.clearRect(0, 0, ci.width, ci.height);
+  const vmax = Math.max(...vals), vmin = Math.min(...vals);
+  cix.strokeStyle = colors[p % colors.length];
+  cix.beginPath();
+  vals.forEach((v, i) => {{
+    const x = i / Math.max(vals.length - 1, 1) * ci.width;
+    const y = ci.height - (v - vmin) / (vmax - vmin + 1e-12)
+              * (ci.height - 8) - 4;
+    i ? cix.lineTo(x, y) : cix.moveTo(x, y);
+  }});
+  cix.stroke();
+  cix.strokeStyle = '#888';
+  const xk = k / Math.max(vals.length - 1, 1) * ci.width;
+  cix.beginPath(); cix.moveTo(xk, 0); cix.lineTo(xk, ci.height);
+  cix.stroke();
+  cix.fillStyle = '#444'; cix.font = '10px sans-serif';
+  cix.fillText(vmax.toExponential(2), 2, 10);
+  cix.fillText(vmin.toExponential(2), 2, ci.height - 2);
+}}
+if (D.stage_costs) {{
+  document.getElementById('inspwrap').style.display = '';
+  plS.innerHTML = D.stage_costs[0].map(
+    (_, p) => `<option value="${{p}}">P${{p + 1}}</option>`).join('');
+  fillCostNames();
+  plS.onchange = () => {{ fillCostNames(); drawInspector(); }};
+  cnS.onchange = drawInspector;
+}}
+const redraw = () => {{ draw(); drawInspector(); }};
+itS.oninput = redraw; tkS.oninput = redraw; redraw();
 </script></body></html>
 """
 
@@ -140,10 +187,14 @@ def render_html(
     path: str,
     title: Optional[str] = None,
     lanes: Optional[list] = None,
+    cost_inspector: bool = True,
 ) -> str:
     """Write a self-contained scrubable HTML animation of the whole solve
     history to `path`. Returns the path. `lanes`: optional list of
-    (M, 2) polylines drawn as road geometry."""
+    (M, 2) polylines drawn as road geometry. With `cost_inspector`, every
+    named cost's stage values are embedded (via PlayerCostCache) and a
+    selector + time-crosshair chart mirrors the reference's CostInspector
+    (gui/cost_inspector.h:62-100)."""
     tracks = []
     for op in log.operating_points:
         xs = np.asarray(op.xs)
@@ -162,6 +213,20 @@ def render_html(
     )
     lo, hi = float(allx.min()) - 5.0, float(allx.max()) + 5.0
 
+    stage_costs = None
+    if cost_inspector:
+        from ilqgames_tpu.utils.cost_cache import PlayerCostCache
+
+        cache = PlayerCostCache(problem, log)
+        stage_costs = [
+            [
+                {name: np.round(cache.evaluate(it, p, name), 5).tolist()
+                 for name in cache.names(p)}
+                for p in range(len(problem.player_costs))
+            ]
+            for it in range(log.num_iterates)
+        ]
+
     data = {
         "tracks": tracks,
         "costs": [np.asarray(c).tolist() for c in log.total_costs],
@@ -171,6 +236,7 @@ def render_html(
         "hi": hi,
         "lanes": [np.asarray(l)[:, :2].clip(lo, hi).round(2).tolist()
                   for l in (lanes or [])],
+        "stage_costs": stage_costs,
     }
     html = _TEMPLATE.format(
         title=title or problem.name,

@@ -116,3 +116,9 @@ def test_viz_html_artifact():
     # Embedded data covers every iterate and knot.
     assert f'"dt": {float(prob.spec.dt)}' in html
     assert html.count('"x":') == log.num_iterates * prob.spec.num_players
+    # Cost-inspector payload: every named cost of every player at every
+    # iterate (reference gui/cost_inspector.h:62-100 capability).
+    assert '"stage_costs":' in html
+    for pc in prob.player_costs:
+        for c in pc.state_costs:
+            assert f'"{c.name}"' in html
