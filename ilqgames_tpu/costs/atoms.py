@@ -162,7 +162,25 @@ def signed_distance(dims1: Tuple[int, int], dims2: Tuple[int, int],
         d = _safe_hypot(v[dims1[0]] - v[dims2[0]], v[dims1[1]] - v[dims2[1]])
         return s * (nominal - d)
 
-    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2))
+    def grad_pairs(t, v):
+        dx = v[dims1[0]] - v[dims2[0]]
+        dy = v[dims1[1]] - v[dims2[1]]
+        ssq = dx * dx + dy * dy
+        d = jnp.sqrt(jnp.maximum(ssq, _EPS))
+        # Bitwise-matches autodiff of `evaluate`: sqrt's vjp rounds
+        # fl(fl(-s*0.5)/d), the x*x+y*y vjp doubles fl(ct*dx) exactly,
+        # and maximum's vjp zeroes the gradient when the clamp is active.
+        live = (ssq > _EPS).astype(jnp.float32)
+        ct = ((-s) * 0.5) / d * live
+        px = ct * dx
+        py = ct * dy
+        gx = px + px
+        gy = py + py
+        return [(dims1[0], gx), (dims1[1], gy),
+                (dims2[0], -gx), (dims2[1], -gy)]
+
+    return Cost(name, evaluate, support=tuple(dims1) + tuple(dims2),
+                grad_pairs_fn=grad_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +515,23 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn)
+    def grad_pairs(t, v):
+        # quad_fn's gradient scalars without the Hessian work (the merit
+        # path's dead Hessian costs a d^2 stack inside the sweep kernel,
+        # which gets no DCE).
+        q = jnp.array([v[xidx], v[yidx]])
+        res = geometry.polyline_closest_point(pts, q)
+        ssd = res.signed_sq_distance * flip
+        s = _sgn(ssd)
+        dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
+        dxv = s * (q[0] - res.point[0]) / dist
+        dyv = s * (q[1] - res.point[1]) / dist
+        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        dx = jnp.where(res.is_vertex, dxv, uy)
+        dy = jnp.where(res.is_vertex, dyv, -ux)
+        return [(xidx, dx), (yidx, dy)]
+
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
 
 
 def route_progress(weight: float, points: jnp.ndarray, xidx: int, yidx: int,
@@ -611,4 +645,19 @@ def extreme_value(costs: Sequence[Cost], is_min: bool,
         grad = jnp.einsum("c,ci->i", onehot, jnp.stack(gs))
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn)
+    def grad_pairs(t, v):
+        # Sparse form of quad_fn's gradient: every member's pairs, each
+        # gated by its one-hot activity scalar (duplicate dims accumulate
+        # in assemble_vector, preserving the member order of the einsum).
+        vals = jax.lax.stop_gradient(_values(t, v))
+        idx = _active_index(vals)
+        pairs = []
+        for ci, c in enumerate(costs):
+            pp = c.gradient_pairs(t, v)
+            if pp is None:
+                return None  # dense member -> fall back to quad_fn
+            gate = (idx == ci).astype(jnp.float32)
+            pairs.extend((dim, g * gate) for dim, g in pp)
+        return pairs
+
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
