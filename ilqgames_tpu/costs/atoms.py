@@ -384,6 +384,12 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         dx, dy, _, _, _ = _scalars(v)
         return [(xidx, dx), (yidx, dy)]
 
+    def quad_pairs(t, v):
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
+        return ([((xidx, xidx), ddx), ((yidx, yidx), ddy),
+                 ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)],
+                [(xidx, dx), (yidx, dy)])
+
     def quad_fn(t, v):
         d = v.shape[0]
         dx, dy, ddx, ddy, dxdy = _scalars(v)
@@ -394,7 +400,8 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
@@ -454,6 +461,12 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         dx, dy, _, _, _ = _scalars(v)
         return [(xidx, dx), (yidx, dy)]
 
+    def quad_pairs(t, v):
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
+        return ([((xidx, xidx), ddx), ((yidx, yidx), ddy),
+                 ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)],
+                [(xidx, dx), (yidx, dy)])
+
     def quad_fn(t, v):
         d = v.shape[0]
         dx, dy, ddx, ddy, dxdy = _scalars(v)
@@ -464,7 +477,8 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
 
-    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
@@ -482,8 +496,7 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         ssd = res.signed_sq_distance * flip
         return _sgn(ssd) * jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS)) - nominal
 
-    def quad_fn(t, v):
-        d = v.shape[0]
+    def _scalars(v):
         q = jnp.array([v[xidx], v[yidx]])
         res = geometry.polyline_closest_point(pts, q)
         ssd = res.signed_sq_distance * flip
@@ -507,13 +520,23 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         ddx = jnp.where(res.is_vertex, ddxv, 0.0)
         ddy = jnp.where(res.is_vertex, ddyv, 0.0)
         dxdy = jnp.where(res.is_vertex, dxdyv, 0.0)
+        return dx, dy, ddx, ddy, dxdy
 
+    def quad_fn(t, v):
+        d = v.shape[0]
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
         grad = assemble_vector(d, [(xidx, dx), (yidx, dy)], dx)
         hess = assemble_matrix(
             d,
             [((xidx, xidx), ddx), ((yidx, yidx), ddy),
              ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)], dx)
         return hess, grad
+
+    def quad_pairs(t, v):
+        dx, dy, ddx, ddy, dxdy = _scalars(v)
+        return ([((xidx, xidx), ddx), ((yidx, yidx), ddy),
+                 ((xidx, yidx), dxdy), ((yidx, xidx), dxdy)],
+                [(xidx, dx), (yidx, dy)])
 
     def grad_pairs(t, v):
         # quad_fn's gradient scalars without the Hessian work (the merit
@@ -531,7 +554,8 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         dy = jnp.where(res.is_vertex, dyv, -ux)
         return [(xidx, dx), (yidx, dy)]
 
-    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def route_progress(weight: float, points: jnp.ndarray, xidx: int, yidx: int,
@@ -617,7 +641,17 @@ def final_time(inner: Cost, threshold_time: float,
         gate = jnp.asarray(t >= threshold_time, jnp.float32)
         return [(i, s * gate) for i, s in pairs]
 
-    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
+    def quad_pairs(t, v):
+        qp = inner.quad_pairs(t, v)
+        if qp is None:
+            return None
+        hp, gp = qp
+        gate = jnp.asarray(t >= threshold_time, jnp.float32)
+        return ([(ij, h * gate) for ij, h in hp],
+                [(i, s * gate) for i, s in gp])
+
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def extreme_value(costs: Sequence[Cost], is_min: bool,
@@ -660,4 +694,19 @@ def extreme_value(costs: Sequence[Cost], is_min: bool,
             pairs.extend((dim, g * gate) for dim, g in pp)
         return pairs
 
-    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs)
+    def quad_pairs(t, v):
+        vals = jax.lax.stop_gradient(_values(t, v))
+        idx = _active_index(vals)
+        hpairs, gpairs = [], []
+        for ci, c in enumerate(costs):
+            qp = c.quad_pairs(t, v)
+            if qp is None:
+                return None  # dense member -> fall back to quad_fn
+            hp, gp = qp
+            gate = (idx == ci).astype(jnp.float32)
+            hpairs.extend((ij, h * gate) for ij, h in hp)
+            gpairs.extend((dim, g * gate) for dim, g in gp)
+        return hpairs, gpairs
+
+    return Cost(name, evaluate, quad_fn, grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)

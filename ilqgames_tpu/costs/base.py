@@ -75,6 +75,9 @@ class Cost:
     # ONE dense vector per player, instead of one [d]-stack per cost —
     # the stacks were the dominant op count in the Pallas sweep kernel.
     grad_pairs_fn: Optional[Callable] = None
+    # Optional sparse quadraticization: (t, v) -> (hess pairs, grad
+    # pairs) — see quad_pairs().
+    quad_pairs_fn: Optional[Callable] = None
 
     def _restricted(self, t, v):
         # Stack-based reassembly (no scatters) so the trace runs unchanged
@@ -136,6 +139,28 @@ class Cost:
         hess = jax.hessian(self.evaluate, argnums=1)(t, v)
         return hess, grad
 
+    def quad_pairs(self, t, v):
+        """Sparse quadraticization: (hess ((i,j), scalar) pairs, grad
+        (i, scalar) pairs), or None if only a dense form exists. Same
+        scalars as `quadraticize` — the fused stage kernel accumulates
+        pairs across a player's costs and assembles ONE dense Q/l per
+        player (per-cost dense accumulation costs xdim^2 vreg adds per
+        cost inside a Pallas kernel, which gets no fusion/DCE)."""
+        if self.quad_pairs_fn is not None:
+            return self.quad_pairs_fn(t, v)
+        if self.quad_fn is not None:
+            return None
+        if self.support is not None:
+            f, sub = self._restricted(t, v)
+            idx = self.support
+            g = jax.grad(f)(sub)
+            h = jax.hessian(f)(sub)
+            hp = [((i, i2), h[n, n2])
+                  for n, i in enumerate(idx) for n2, i2 in enumerate(idx)]
+            gp = [(i, g[n]) for n, i in enumerate(idx)]
+            return hp, gp
+        return None
+
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class Constraint:
@@ -154,6 +179,9 @@ class Constraint:
     # Optional sparse AL gradient: (t, v, lam, mu) -> list[(dim, scalar)]
     # — see Cost.grad_pairs_fn.
     al_grad_pairs_fn: Optional[Callable] = None
+    # Optional sparse AL quadraticization: (t, v, lam, mu) ->
+    # (hess pairs, grad pairs) — see Cost.quad_pairs().
+    al_quad_pairs_fn: Optional[Callable] = None
 
     def effective_mu(self, g_val, lam, mu):
         """mu switches off for satisfied inactive inequalities
@@ -230,6 +258,24 @@ class Constraint:
         grad = jax.grad(self.evaluate_al, argnums=1)(t, v, lam, mu)
         hess = jax.hessian(self.evaluate_al, argnums=1)(t, v, lam, mu)
         return hess, grad
+
+    def quad_al_pairs(self, t, v, lam, mu):
+        """Sparse AL quadraticization as (hess pairs, grad pairs), or
+        None if only a dense form exists — see Cost.quad_pairs()."""
+        if self.al_quad_pairs_fn is not None:
+            return self.al_quad_pairs_fn(t, v, lam, mu)
+        if self.quad_fn is not None:
+            return None
+        if self.support is not None:
+            f, sub = self._restricted_al(t, v, lam, mu)
+            idx = self.support
+            g = jax.grad(f)(sub)
+            h = jax.hessian(f)(sub)
+            hp = [((i, i2), h[n, n2])
+                  for n, i in enumerate(idx) for n2, i2 in enumerate(idx)]
+            gp = [(i, g[n]) for n, i in enumerate(idx)]
+            return hp, gp
+        return None
 
     def is_satisfied(self, g_val):
         if self.is_equality:

@@ -164,5 +164,15 @@ def final_time(inner: Constraint, threshold_time: float,
         gate = (t >= threshold_time).astype(jnp.float32)
         return [(i, s * gate) for i, s in pairs]
 
+    def al_quad_pairs(t, v, lam, mu):
+        qp = inner.quad_al_pairs(t, v, lam, mu)
+        if qp is None:
+            return None
+        hp, gp = qp
+        gate = (t >= threshold_time).astype(jnp.float32)
+        return ([(ij, h * gate) for ij, h in hp],
+                [(i, s * gate) for i, s in gp])
+
     return Constraint(name, g, is_equality=inner.is_equality, quad_fn=quad_fn,
-                      al_grad_pairs_fn=al_grad_pairs)
+                      al_grad_pairs_fn=al_grad_pairs,
+                      al_quad_pairs_fn=al_quad_pairs)

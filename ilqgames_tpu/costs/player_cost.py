@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from flax import struct
 
 from ilqgames_tpu.costs.base import Constraint, Cost
@@ -185,6 +186,117 @@ def stage_gradients_core(player_costs, spec: GameSpec, lam_state_k,
         rs.append(ug)
 
     return jnp.stack(ls), jnp.stack(rs)
+
+
+def stage_quadraticize_core(player_costs, spec: GameSpec, lam_state_k,
+                            lam_ctrl_k, mu, t, x, us, gate):
+    """Per-knot quadraticization with direct multipliers: the per-knot
+    values of `quadraticize` (PlayerCost::Quadraticize +
+    src/ilq_solver.cpp:471-490), built from sparse (index, scalar) pairs
+    with ONE dense assembly per player — kernel-friendly (no scatters,
+    no per-cost dense accumulation; Mosaic gets no fusion/DCE).
+
+    gate: [P] extremal state-term gates (1.0 always for SUM players,
+    one-hot at the extreme knot otherwise — src/ilq_solver.cpp:483-487).
+    Control terms are never gated. Returns (Q [P,xd,xd], l [P,xd],
+    R [P,P,um,um], r [P,P,um])."""
+    from ilqgames_tpu.costs.base import assemble_matrix, assemble_vector
+
+    xd = spec.xdim
+    um = spec.umax
+    P = spec.num_players
+    u_mask_np = _np.zeros((P, um), _np.float32)
+    for _i, _d in enumerate(spec.udims):
+        u_mask_np[_i, :_d] = 1.0
+
+    Qs, ls, R_rows, r_rows = [], [], [], []
+    for i, pc in enumerate(player_costs):
+        hpairs, gpairs = [], []
+        hdense = gdense = None
+        for c in pc.state_costs:
+            qp = c.quad_pairs(t, x)
+            if qp is not None:
+                hpairs.extend(qp[0])
+                gpairs.extend(qp[1])
+            else:
+                h, g = c.quadraticize(t, x)
+                hdense = h if hdense is None else hdense + h
+                gdense = g if gdense is None else gdense + g
+        for ci, con in enumerate(pc.state_constraints):
+            qp = con.quad_al_pairs(t, x, lam_state_k[i][ci], mu)
+            if qp is not None:
+                hpairs.extend(qp[0])
+                gpairs.extend(qp[1])
+            else:
+                h, g = con.quadraticize_al(t, x, lam_state_k[i][ci], mu)
+                hdense = h if hdense is None else hdense + h
+                gdense = g if gdense is None else gdense + g
+        hess = assemble_matrix(xd, hpairs, x[0])
+        grad = assemble_vector(xd, gpairs, x[0])
+        if hdense is not None:
+            hess = hess + hdense
+            grad = grad + gdense
+        # Extremal gating BEFORE regularization (quadraticize order).
+        hess = hess * gate[i]
+        grad = grad * gate[i]
+        if pc.state_regularization != 0.0:
+            reg = pc.state_regularization
+            hess = hess + assemble_matrix(
+                xd, [((d_, d_), jnp.full_like(x[0], reg))
+                     for d_ in range(xd)], x[0])
+        Qs.append(hess)
+        ls.append(grad)
+
+        Ri, ri = [], []
+        cps = pc.control_players()
+        for j in range(P):
+            if j not in cps:
+                Ri.append(assemble_matrix(um, [], us[i, 0]))
+                ri.append(assemble_vector(um, [], us[i, 0]))
+                continue
+            hpairs, gpairs = [], []
+            hdense = gdense = None
+            for jj, c in pc.control_costs:
+                if jj != j:
+                    continue
+                qp = c.quad_pairs(t, us[j])
+                if qp is not None:
+                    hpairs.extend(qp[0])
+                    gpairs.extend(qp[1])
+                else:
+                    h, g = c.quadraticize(t, us[j])
+                    hdense = h if hdense is None else hdense + h
+                    gdense = g if gdense is None else gdense + g
+            for ci, (jj, con) in enumerate(pc.control_constraints):
+                if jj != j:
+                    continue
+                qp = con.quad_al_pairs(t, us[j], lam_ctrl_k[i][ci], mu)
+                if qp is not None:
+                    hpairs.extend(qp[0])
+                    gpairs.extend(qp[1])
+                else:
+                    h, g = con.quadraticize_al(
+                        t, us[j], lam_ctrl_k[i][ci], mu)
+                    hdense = h if hdense is None else hdense + h
+                    gdense = g if gdense is None else gdense + g
+            if pc.control_regularization != 0.0:
+                reg = pc.control_regularization
+                hpairs.extend(
+                    ((a, a), jnp.full_like(us[i, 0],
+                                           reg * float(u_mask_np[j, a])))
+                    for a in range(um))
+            hess_u = assemble_matrix(um, hpairs, us[i, 0])
+            grad_u = assemble_vector(um, gpairs, us[i, 0])
+            if hdense is not None:
+                hess_u = hess_u + hdense
+                grad_u = grad_u + gdense
+            Ri.append(hess_u)
+            ri.append(grad_u)
+        R_rows.append(jnp.stack(Ri))
+        r_rows.append(jnp.stack(ri))
+
+    return (jnp.stack(Qs), jnp.stack(ls),
+            jnp.stack(R_rows), jnp.stack(r_rows))
 
 
 def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):

@@ -294,50 +294,26 @@ def _pad_batch(arr, Bb):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "adaptive_regularization", "batch_block",
-                     "interpret"),
-)
-def solve_lq_feedback_pallas(
+def solve_lq_feedback_bm(
     spec: GameSpec,
-    lin: LinearDynamics,
-    quad: QuadraticCosts,
-    dx0: jnp.ndarray,
+    ops: dict,
+    dx0m: jnp.ndarray,
     adaptive_regularization: bool = True,
     batch_block: int = 128,
     interpret: bool = False,
-) -> LQSolution:
-    """Batched feedback-LQ solve on TPU via Pallas.
-
-    Args (batch-MAJOR, as produced by `jax.vmap`'d linearize/quadraticize):
-      lin.A  [Bt, N, x, x], lin.Bs [Bt, N, P, x, u]
-      quad.Q [Bt, N, P, x, x], .l [Bt, N, P, x],
-      .R [Bt, N, P, P, u, u], .r [Bt, N, P, P, u]
-      dx0    [Bt, x]
-
-    Returns a batch-major LQSolution (costates are zeros: the production
-    solver path never consumes them; see VERDICT/shipped-merit notes in
-    solver/ilq.py).
-    """
+):
+    """Raw batch-minor feedback-LQ solve (the kernel pair without any
+    layout conversion): `ops` is the stage-kernel operand dict
+    {"A" [N,x,x,B], "Bf" [N,x,Pu,B], "Qf" [N,P*x,x,B], "lf" [N,P*x,B],
+    "Rf" [N,P*P*u,u,B], "rf" [N,P*P*u,B]}, dx0m [x,B]; all lane-padded.
+    Returns (Ps_r [ns,Pu,x,B], al_r [ns,Pu,B], dxs [N,x,B])."""
     N = spec.num_time_steps
     P = spec.num_players
     x = spec.xdim
     u = spec.umax
     Pu = P * u
-    Bt = dx0.shape[0]
-
-    # ---- to batch-minor, flattened leading dims ----
-    bm = lambda a: jnp.moveaxis(a, 0, -1)
-    A = _pad_batch(bm(lin.A), batch_block)                      # [N,x,x,B]
-    Bf = _pad_batch(
-        bm(lin.Bs).transpose(0, 2, 1, 3, 4).reshape(N, x, Pu, -1),
-        batch_block)                                            # [N,x,Pu,B]
-    Qf = _pad_batch(bm(quad.Q).reshape(N, P * x, x, -1), batch_block)
-    lf = _pad_batch(bm(quad.l).reshape(N, P * x, -1), batch_block)
-    Rf = _pad_batch(bm(quad.R).reshape(N, P * P * u, u, -1), batch_block)
-    rf = _pad_batch(bm(quad.r).reshape(N, P * P * u, -1), batch_block)
-    dx0m = _pad_batch(bm(dx0), batch_block)                     # [x,B]
+    A, Bf = ops["A"], ops["Bf"]
+    Qf, lf, Rf, rf = ops["Qf"], ops["lf"], ops["Rf"], ops["rf"]
     B = A.shape[-1]
     nb = B // batch_block
     Bb = batch_block
@@ -414,13 +390,71 @@ def solve_lq_feedback_pallas(
         interpret=interpret,
     )(A[:ns], Bf[:ns], al_r, dx0m)
 
+    dxs = jnp.concatenate([dxs_r, xlast[None]], axis=0)  # [N, x, B]
+    return Ps_r, al_r, dxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "adaptive_regularization", "batch_block",
+                     "interpret"),
+)
+def solve_lq_feedback_pallas(
+    spec: GameSpec,
+    lin: LinearDynamics,
+    quad: QuadraticCosts,
+    dx0: jnp.ndarray,
+    adaptive_regularization: bool = True,
+    batch_block: int = 128,
+    interpret: bool = False,
+) -> LQSolution:
+    """Batched feedback-LQ solve on TPU via Pallas.
+
+    Args (batch-MAJOR, as produced by `jax.vmap`'d linearize/quadraticize):
+      lin.A  [Bt, N, x, x], lin.Bs [Bt, N, P, x, u]
+      quad.Q [Bt, N, P, x, x], .l [Bt, N, P, x],
+      .R [Bt, N, P, P, u, u], .r [Bt, N, P, P, u]
+      dx0    [Bt, x]
+
+    Returns a batch-major LQSolution (costates are zeros: the production
+    solver path never consumes them; see VERDICT/shipped-merit notes in
+    solver/ilq.py).
+    """
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    Pu = P * u
+    Bt = dx0.shape[0]
+
+    # ---- to batch-minor, flattened leading dims ----
+    bm = lambda a: jnp.moveaxis(a, 0, -1)
+    ops = {
+        "A": _pad_batch(bm(lin.A), batch_block),                # [N,x,x,B]
+        "Bf": _pad_batch(
+            bm(lin.Bs).transpose(0, 2, 1, 3, 4).reshape(N, x, Pu, -1),
+            batch_block),                                       # [N,x,Pu,B]
+        "Qf": _pad_batch(bm(quad.Q).reshape(N, P * x, x, -1), batch_block),
+        "lf": _pad_batch(bm(quad.l).reshape(N, P * x, -1), batch_block),
+        "Rf": _pad_batch(bm(quad.R).reshape(N, P * P * u, u, -1),
+                         batch_block),
+        "rf": _pad_batch(bm(quad.r).reshape(N, P * P * u, -1), batch_block),
+    }
+    dx0m = _pad_batch(bm(dx0), batch_block)                     # [x,B]
+    Ps_r, al_r, dxs = solve_lq_feedback_bm(
+        spec, ops, dx0m,
+        adaptive_regularization=adaptive_regularization,
+        batch_block=batch_block, interpret=interpret,
+    )
+    ns = N - 1
+
     # ---- back to batch-major containers ----
     mb = lambda a: jnp.moveaxis(a[..., :Bt], -1, 0)
     Ps = mb(Ps_r).reshape(Bt, ns, P, u, x)
     alphas = mb(al_r).reshape(Bt, ns, P, u)
     zerosP = jnp.zeros((Bt, 1, P, u, x), jnp.float32)
     zerosA = jnp.zeros((Bt, 1, P, u), jnp.float32)
-    delta_xs = jnp.concatenate([mb(dxs_r), mb(xlast)[:, None, :]], axis=1)
+    delta_xs = mb(dxs)
     return LQSolution(
         strategy=Strategy(
             Ps=jnp.concatenate([Ps, zerosP], axis=1),

@@ -306,6 +306,57 @@ def _prep_al(spec, al_state, extreme_gate, Bb):
     return lamS, lamC, mu, gate
 
 
+def rollout_bm(
+    dyn,
+    spec: GameSpec,
+    x0m: jnp.ndarray,         # [x, B]
+    op_bm: dict,              # {"xs" [N,x,B], "us" [N,Pu,B], "t0" [1,B]}
+    st_bm: dict,              # {"Ps" [N,Pu,x,B], "alphas" [N,Pu,B]}
+    scal_bm: jnp.ndarray,     # [1, B] per-lane alpha scaling
+    batch_block: int = 128,
+    interpret: bool = False,
+):
+    """Raw batch-minor rollout: returns (xs_r [N,x,B], us_r [N,Pu,B])."""
+    xs_r, us_r = _run(
+        dyn, None, spec, x0m, op_bm, st_bm, scal_bm, None, None, None,
+        None, compute_merit=False, emit_traj=True,
+        batch_block=batch_block, interpret=interpret,
+    )
+    N = spec.num_time_steps
+    return (xs_r.reshape(N, spec.xdim, -1),
+            us_r.reshape(N, spec.num_players * spec.umax, -1))
+
+
+def sweep_merits_bm(
+    dyn,
+    player_costs,
+    spec: GameSpec,
+    x0m: jnp.ndarray,         # [x, B]
+    op_bm: dict,
+    st_bm: dict,
+    scalings: jnp.ndarray,    # [C]
+    lamS, lamC, mu, gate,     # batch-minor AL operands (_prep_al form)
+    batch_block: int = 128,
+    interpret: bool = False,
+    cand_chunk: int = 8,
+) -> jnp.ndarray:
+    """Raw batch-minor merit sweep: [C, B] (0.5 * gated squared stage
+    gradients; see sweep_merits_pallas)."""
+    B = op_bm["xs"].shape[-1]
+    C = scalings.shape[0]
+    Cc = _time_block(C, cap=cand_chunk)
+    parts = []
+    for c0 in range(0, C, Cc):
+        scal_cb = jnp.broadcast_to(scalings[c0:c0 + Cc, None], (Cc, B))
+        (merits,) = _run(
+            dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
+            lamC, mu, gate, compute_merit=True, emit_traj=False,
+            batch_block=batch_block, interpret=interpret,
+        )
+        parts.append(merits)
+    return 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dyn", "spec", "batch_block", "interpret"),

@@ -6,8 +6,12 @@ bookkeeping — reference src/ilq_solver.cpp:123-165 +
 src/augmented_lagrangian_solver.cpp:108-178) but operates on whole
 batches: the horizon recursions (LQ backward/forward, rollout, linesearch
 sweep) run as Pallas kernels over the full batch instead of vmapped
-`lax.scan`s, and only the embarrassingly-parallel stages (linearize,
-quadraticize, cost totals) stay as vmapped XLA.
+`lax.scan`s. With `fuse_stages` (the production default), linearize +
+quadraticize also run in one knot-parallel Pallas kernel
+(ops/pallas/stage.py) that feeds the LQ kernel batch-minor directly —
+the quadraticization is recomputed from (op, al) each trip instead of
+carried (bit-equivalent; see _empty_quad), and only cost totals /
+violations stay as vmapped XLA.
 
 Why a separate module instead of a flag inside fused.py: the kernels are
 batch-level functions (batch on the lane axis), so the control flow can't
@@ -30,15 +34,19 @@ import jax.numpy as jnp
 
 from ilqgames_tpu.costs import player_cost as pcost
 from ilqgames_tpu.dynamics import base as dyn_base
-from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
-from ilqgames_tpu.ops.pallas.sweep import rollout_pallas, \
-    sweep_merits_pallas
+from ilqgames_tpu.ops.pallas.layout import bm, mb, pad_batch
+from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_bm, \
+    solve_lq_feedback_pallas
+from ilqgames_tpu.ops.pallas.stage import lin_quad_pallas
+from ilqgames_tpu.ops.pallas.sweep import _prep_al, rollout_bm, \
+    rollout_pallas, sweep_merits_bm, sweep_merits_pallas
 from ilqgames_tpu.solver import ilq
 from ilqgames_tpu.solver.al import ALResult, constraint_violations, \
     max_constraint_violation
 from ilqgames_tpu.solver.fused import _FusedCarry
 from ilqgames_tpu.solver.params import SolverParams
-from ilqgames_tpu.types import GameSpec, OperatingPoint, Strategy
+from ilqgames_tpu.types import GameSpec, OperatingPoint, QuadraticCosts, \
+    Strategy
 
 
 def _bwhere(mask, a, b):
@@ -60,6 +68,39 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
     )(op, al, extreme_ks)
 
 
+def _empty_quad(Bt):
+    """Zero-size QuadraticCosts placeholder: the fused-stage machine
+    recomputes the quadraticization from (op, al) in-kernel every trip
+    (bit-equivalent — failed lanes always pass through the reinit
+    boundary, so a carried quad is never consumed with a stale al), so
+    the 0.3 GB/trip quad carry + its masked updates disappear."""
+    z = lambda *s: jnp.zeros((Bt,) + s, jnp.float32)
+    return QuadraticCosts(Q=z(0, 0, 0, 0), l=z(0, 0, 0),
+                          R=z(0, 0, 0, 0, 0), r=z(0, 0, 0, 0))
+
+
+def _expected_decrease_bm(spec, ops, al_r, dxs):
+    """ExpectedDecrease (ilq._expected_decrease, shipped form) from the
+    batch-minor stage/LQ arrays: returns [B] (lane-padded)."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    ns = N - 1
+    R6 = ops["Rf"].reshape(N, P, P, u, u, -1)
+    r5 = ops["rf"].reshape(N, P, P, u, -1)
+    Rii = jnp.einsum("kiiuvb->kiuvb", R6)
+    rii = jnp.einsum("kiiub->kiub", r5)
+    alph = al_r.reshape(ns, P, u, -1)
+    # The reference sums all N knots; the LQ strategy's terminal row is
+    # zero, so summing the ns real rows is identical.
+    control = -jnp.einsum("kiub,kiuvb,kivb->b", alph, Rii[:ns], rii[:ns])
+    Q6 = ops["Qf"].reshape(N, P, x, x, -1)
+    l5 = ops["lf"].reshape(N, P, x, -1)
+    state = -jnp.einsum("kxb,kixyb,kiyb->b", dxs[1:], Q6[1:], l5[1:])
+    return control + state
+
+
 def _extreme_gate_b(player_costs, spec, extreme_ks):
     """[B, N, P] gate: 1 everywhere for additive players, one-hot at the
     extreme knot for extremal structures (src/ilq_solver.cpp:483-487)."""
@@ -79,39 +120,125 @@ def _extreme_gate_b(player_costs, spec, extreme_ks):
 def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                            *, active=None, batch_block=128,
                            interpret=False, stage1_cands=8,
-                           return_stats=False):
+                           return_stats=False, fuse_stages=False):
     """ONE iLQ iteration for a whole batch (the batch-level twin of
     ilq.iteration_step; reference src/ilq_solver.cpp:123-165).
 
     `active` ([Bt] bool, optional) marks lanes whose results will be
     kept by the caller; lanes outside it cannot force the expensive
     stage-2 linesearch escalation (their outputs are discarded anyway).
+
+    `fuse_stages`: compute linearize+quadraticize in the fused Pallas
+    stage kernel (ops/pallas/stage.py) from (c.op, al_state) each trip
+    and keep all inter-kernel arrays batch-minor — no quad carry, no
+    layout transposes between stages. Semantics are identical (see
+    _empty_quad's rationale).
     """
     if params.open_loop:
         raise ValueError("Pallas batched path supports feedback LQ only")
     Bt = x0.shape[0]
-
-    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
-    lqsol = solve_lq_feedback_pallas(
-        spec, lin, c.quad, x0 - c.op.xs[:, 0],
-        adaptive_regularization=params.adaptive_regularization,
-        batch_block=batch_block, interpret=interpret,
-    )
-
-    expected_decrease = jax.vmap(
-        lambda q, a, d: ilq._expected_decrease(spec, q, a, d)
-    )(c.quad, lqsol.strategy.alphas, lqsol.delta_xs)
+    Bb = batch_block
+    N = spec.num_time_steps
+    P = spec.num_players
+    xd = spec.xdim
+    um = spec.umax
+    Pu = P * um
+    ns = N - 1
+    gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
     last_op = c.op
+
+    if fuse_stages:
+        op_bm = {
+            "xs": pad_batch(bm(c.op.xs), Bb),
+            "us": pad_batch(bm(c.op.us).reshape(N, Pu, -1), Bb),
+            "t0": pad_batch(bm(c.op.t0)[None], Bb),
+        }
+        x0m = pad_batch(bm(x0), Bb)
+        Bp = x0m.shape[-1]
+        lamS, lamC, mu_bm, gate_bm = _prep_al(spec, al_state, gate, Bb)
+        ops = lin_quad_pallas(
+            dyn, player_costs, spec, op_bm, lamS, lamC, mu_bm, gate_bm,
+            batch_block=Bb, interpret=interpret,
+        )
+        Ps_r, al_r, dxs = solve_lq_feedback_bm(
+            spec, ops, x0m - op_bm["xs"][0],
+            adaptive_regularization=params.adaptive_regularization,
+            batch_block=Bb, interpret=interpret,
+        )
+        st_bm = {
+            "Ps": jnp.concatenate(
+                [Ps_r, jnp.zeros((1, Pu, xd, Bp), jnp.float32)]),
+            "alphas": jnp.concatenate(
+                [al_r, jnp.zeros((1, Pu, Bp), jnp.float32)]),
+        }
+        expected_decrease = _expected_decrease_bm(spec, ops, al_r, dxs)[:Bt]
+
+        def sweep_chunk_fn(scal_c):
+            m = sweep_merits_bm(
+                dyn, player_costs, spec, x0m, op_bm, st_bm, scal_c,
+                lamS, lamC, mu_bm, gate_bm,
+                batch_block=Bb, interpret=interpret,
+            )
+            return jnp.moveaxis(m[:, :Bt], -1, 0)  # [Bt, C]
+
+        def reroll_fn(scal_lane):
+            scal_bm = pad_batch(bm(scal_lane)[None], Bb)
+            xs_r, us_r = rollout_bm(
+                dyn, spec, x0m, op_bm, st_bm, scal_bm,
+                batch_block=Bb, interpret=interpret,
+            )
+            return OperatingPoint(
+                xs=mb(xs_r, Bt), us=mb(us_r, Bt).reshape(Bt, N, P, um),
+                t0=c.op.t0,
+            )
+
+        lq_strategy = Strategy(
+            Ps=jnp.concatenate(
+                [mb(Ps_r, Bt).reshape(Bt, ns, P, um, xd),
+                 jnp.zeros((Bt, 1, P, um, xd), jnp.float32)], axis=1),
+            alphas=jnp.concatenate(
+                [mb(al_r, Bt).reshape(Bt, ns, P, um),
+                 jnp.zeros((Bt, 1, P, um), jnp.float32)], axis=1),
+        )
+        quad_of = lambda op: _empty_quad(Bt)
+    else:
+        lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+        lqsol = solve_lq_feedback_pallas(
+            spec, lin, c.quad, x0 - c.op.xs[:, 0],
+            adaptive_regularization=params.adaptive_regularization,
+            batch_block=batch_block, interpret=interpret,
+        )
+        expected_decrease = jax.vmap(
+            lambda q, a, d: ilq._expected_decrease(spec, q, a, d)
+        )(c.quad, lqsol.strategy.alphas, lqsol.delta_xs)
+        lq_strategy = lqsol.strategy
+
+        def sweep_chunk_fn(scal_c):
+            return sweep_merits_pallas(
+                dyn, player_costs, spec, x0, last_op, lq_strategy,
+                scal_c, al_state, gate,
+                batch_block=batch_block, interpret=interpret,
+            )
+
+        def reroll_fn(scal_lane):
+            return rollout_pallas(
+                dyn, spec, x0, last_op, lq_strategy, scal=scal_lane,
+                batch_block=batch_block, interpret=interpret,
+            )
+
+        quad_of = lambda op: _quad_b(player_costs, spec, op, al_state,
+                                     c.extreme_ks)
 
     if not params.linesearch:
         scal = jnp.full((Bt,), params.initial_alpha_scaling, jnp.float32)
-        trial_op = rollout_pallas(
-            dyn, spec, x0, last_op, lqsol.strategy, scal=scal,
-            batch_block=batch_block, interpret=interpret,
-        )
+        trial_op = reroll_fn(scal)
         totals, extreme_ks = _totals_b(player_costs, spec, trial_op)
-        quad = _quad_b(player_costs, spec, trial_op, al_state, extreme_ks)
-        scaled = lqsol.strategy.scale_alphas(params.initial_alpha_scaling)
+        if fuse_stages:
+            quad = _empty_quad(Bt)
+        else:
+            quad = _quad_b(player_costs, spec, trial_op, al_state,
+                           extreme_ks)
+        scaled = lq_strategy.scale_alphas(params.initial_alpha_scaling)
         return c.replace(
             op=trial_op, strategy=scaled, quad=quad, extreme_ks=extreme_ks,
             iteration=c.iteration + 1,
@@ -122,7 +249,6 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         params.geometric_alpha_scaling
         ** jnp.arange(n_cand, dtype=jnp.float32)
     )
-    gate = _extreme_gate_b(player_costs, spec, c.extreme_ks)
 
     # ADAPTIVE chunked all-candidates linesearch. Selection is the same
     # first-Armijo-pass rule as the reference's sequential backtracking
@@ -159,11 +285,7 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
 
     def sweep_chunk(i):
         scal_i = jax.lax.dynamic_slice(scal_full, (i * CH,), (CH,))
-        return sweep_merits_pallas(
-            dyn, player_costs, spec, x0, last_op, lqsol.strategy,
-            scal_i, al_state, gate,
-            batch_block=batch_block, interpret=interpret,
-        )
+        return sweep_chunk_fn(scal_i)
 
     def ladder_cond(state):
         i, buf = state
@@ -201,17 +323,14 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         c.last_merit,
     )
 
-    strategy_sel = lqsol.strategy.replace(
-        alphas=lqsol.strategy.alphas * scal_sel[:, None, None, None]
+    strategy_sel = lq_strategy.replace(
+        alphas=lq_strategy.alphas * scal_sel[:, None, None, None]
     )
     # Re-roll ONLY the selected candidate (per-lane scal): an in-kernel
     # rollout is far cheaper than emitting every candidate's trajectory
     # to HBM (1.7 GB at C=104, B=256) and gathering from it.
-    op_sel = rollout_pallas(
-        dyn, spec, x0, last_op, lqsol.strategy, scal=scal_sel,
-        batch_block=batch_block, interpret=interpret,
-    )
-    quad_sel = _quad_b(player_costs, spec, op_sel, al_state, c.extreme_ks)
+    op_sel = reroll_fn(scal_sel)
+    quad_sel = quad_of(op_sel)
 
     failed = ~passed
     converged = passed & (merit_sel <= c.last_merit) & (
@@ -235,7 +354,8 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
 
 
 def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
-                        last_merit, *, batch_block, interpret):
+                        last_merit, *, batch_block, interpret,
+                        fuse_stages=False):
     """Batched ILQSolver::Solve initialization (src/ilq_solver.cpp:82-121)."""
     Bt = x0.shape[0]
     last_op = op.replace(xs=op.xs.at[:, 0].set(x0))
@@ -244,7 +364,10 @@ def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
         batch_block=batch_block, interpret=interpret,
     )
     _, extreme_ks = _totals_b(player_costs, spec, current_op)
-    quad = _quad_b(player_costs, spec, current_op, al, extreme_ks)
+    if fuse_stages:
+        quad = _empty_quad(Bt)
+    else:
+        quad = _quad_b(player_costs, spec, current_op, al, extreme_ks)
     zi = jnp.zeros((Bt,), jnp.int32)
     zb = jnp.zeros((Bt,), bool)
     return ilq._SolveCarry(
@@ -254,11 +377,12 @@ def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
 
 
 def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
-                  interpret):
+                  interpret, fuse_stages=False):
     """One trip of the flat machine, batch-level (twin of fused._trip)."""
     c2 = iteration_step_batched(
         dyn, player_costs, spec, params, x0, fc.al, fc.c,
         active=~fc.done, batch_block=batch_block, interpret=interpret,
+        fuse_stages=fuse_stages,
     )
     inner_iters = fc.inner_iters + 1
     cum_iters = fc.cum_iters + 1
@@ -300,6 +424,7 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
         c3 = _init_inner_batched(
             dyn, player_costs, spec, x0, warm_op, warm_strategy, al_inc,
             c2.last_merit, batch_block=batch_block, interpret=interpret,
+            fuse_stages=fuse_stages,
         )
         return c3, al_inc, violation_new
 
@@ -326,12 +451,13 @@ def _trip_batched(dyn, player_costs, spec, params, x0, fc, *, batch_block,
 
 
 def _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
-            batch_block, interpret):
+            batch_block, interpret, fuse_stages=False):
     Bt = x0_b.shape[0]
     c0 = _init_inner_batched(
         dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
         jnp.full((Bt,), jnp.inf, jnp.float32),
         batch_block=batch_block, interpret=interpret,
+        fuse_stages=fuse_stages,
     )
     return _FusedCarry(
         c=c0, al=al_b, warm_op=c0.op, warm_strategy=c0.strategy,
@@ -360,7 +486,7 @@ def _pad_args(args, m):
 
 
 def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
-                 batch_block, interpret, mesh):
+                 batch_block, interpret, mesh, fuse_stages=False):
     """Shared host-stepped driver: `init(*args) -> _FusedCarry` (args[0]
     must be x0_b), then trips_per_call masked trips per dispatch until
     every lane is done. Optionally shard_mapped over a 1-D mesh."""
@@ -371,6 +497,7 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
             fc2 = _trip_batched(
                 dyn, player_costs, spec, params, x0_b, fc,
                 batch_block=batch_block, interpret=interpret,
+                fuse_stages=fuse_stages,
             )
             return _bwhere(fc.done, fc, fc2)
     else:
@@ -380,7 +507,7 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
             c2 = iteration_step_batched(
                 dyn, player_costs, spec, params, x0_b, fc.al, fc.c,
                 active=~fc.done, batch_block=batch_block,
-                interpret=interpret,
+                interpret=interpret, fuse_stages=fuse_stages,
             )
             cum = fc.cum_iters + 1
             done_now = c2.converged | c2.failed | (
@@ -471,7 +598,8 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
                              trips_per_call: int = 25,
                              batch_block: int = 128,
                              interpret: bool = False,
-                             mesh=None):
+                             mesh=None,
+                             fuse_stages: bool = True):
     """Batched Pallas solve with bounded device programs (twin of
     fused.make_host_batched_solver): each dispatch runs `trips_per_call`
     masked trips for the whole batch; the host loops until all lanes are
@@ -498,17 +626,20 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
             lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), t
         )
         return _carry0(dyn, player_costs, spec, x0_b, bc(warm_op),
-                       bc(warm_strategy), al0, batch_block, interpret)
+                       bc(warm_strategy), al0, batch_block, interpret,
+                       fuse_stages=fuse_stages)
 
     return _make_driver(dyn, player_costs, spec, params, init,
-                        trips_per_call, batch_block, interpret, mesh)
+                        trips_per_call, batch_block, interpret, mesh,
+                        fuse_stages=fuse_stages)
 
 
 def make_host_batched_warm_solver(dyn, player_costs, spec, params,
                                   trips_per_call: int = 25,
                                   batch_block: int = 128,
                                   interpret: bool = False,
-                                  mesh=None):
+                                  mesh=None,
+                                  fuse_stages: bool = True):
     """Warm-started batched Pallas solve: fn(x0 [B,x], warm_op, 
     warm_strategy, al_state — all batched) -> ALResult. The receding-
     horizon replanning path (runtime/receding_horizon.py simulate_batched
@@ -516,7 +647,8 @@ def make_host_batched_warm_solver(dyn, player_costs, spec, params,
 
     def init(x0_b, wop_b, wst_b, al_b):
         return _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
-                       batch_block, interpret)
+                       batch_block, interpret, fuse_stages=fuse_stages)
 
     return _make_driver(dyn, player_costs, spec, params, init,
-                        trips_per_call, batch_block, interpret, mesh)
+                        trips_per_call, batch_block, interpret, mesh,
+                        fuse_stages=fuse_stages)

@@ -166,7 +166,9 @@ def test_shard_map_parity(setup):
         res_m.total_costs, res_f.total_costs, rtol=1e-6, atol=1e-6)
 
 
-def test_full_solve_parity(setup):
+@pytest.mark.parametrize("fuse_stages", [False, True],
+                         ids=["xla-stages", "fused-stages"])
+def test_full_solve_parity(setup, fuse_stages):
     problem, params, x0b = setup
     dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
     run_ref = fused.make_host_batched_solver(
@@ -174,7 +176,7 @@ def test_full_solve_parity(setup):
     )
     run_b = batched.make_host_batched_solver(
         dyn, costs, spec, params, trips_per_call=10, batch_block=4,
-        interpret=True,
+        interpret=True, fuse_stages=fuse_stages,
     )
     res_ref = run_ref(x0b)
     res_b = run_b(x0b)
