@@ -62,6 +62,13 @@ def _totals_b(player_costs, spec, op):
     return jax.vmap(lambda o: pcost.total_costs(player_costs, spec, o))(op)
 
 
+def _all_sum(player_costs):
+    """True when every player's structure is SUM — then extreme_ks is
+    identically 0 (pcost.total_costs) and the per-trip TotalCosts pass
+    exists only to produce it, so the trip skips the pass entirely."""
+    return all(pc.structure == pcost.STRUCTURE_SUM for pc in player_costs)
+
+
 def _quad_b(player_costs, spec, op, al, extreme_ks):
     return jax.vmap(
         lambda o, a, ek: pcost.quadraticize(player_costs, spec, o, a, ek)
@@ -232,7 +239,10 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     if not params.linesearch:
         scal = jnp.full((Bt,), params.initial_alpha_scaling, jnp.float32)
         trial_op = reroll_fn(scal)
-        totals, extreme_ks = _totals_b(player_costs, spec, trial_op)
+        if _all_sum(player_costs):
+            extreme_ks = c.extreme_ks
+        else:
+            _, extreme_ks = _totals_b(player_costs, spec, trial_op)
         if fuse_stages:
             quad = _empty_quad(Bt)
         else:
@@ -336,7 +346,10 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     converged = passed & (merit_sel <= c.last_merit) & (
         jnp.abs(c.last_merit - merit_sel) < params.convergence_tolerance
     )
-    totals, extreme_ks = _totals_b(player_costs, spec, op_sel)
+    if _all_sum(player_costs):
+        extreme_ks = c.extreme_ks
+    else:
+        _, extreme_ks = _totals_b(player_costs, spec, op_sel)
     out = ilq._SolveCarry(
         op=_bwhere(passed, op_sel, c.op),
         strategy=_bwhere(passed, strategy_sel, c.strategy),
@@ -363,7 +376,11 @@ def _init_inner_batched(dyn, player_costs, spec, x0, op, strategy, al,
         dyn, spec, x0, last_op, strategy,
         batch_block=batch_block, interpret=interpret,
     )
-    _, extreme_ks = _totals_b(player_costs, spec, current_op)
+    if _all_sum(player_costs):
+        Bt2 = jax.tree_util.tree_leaves(current_op)[0].shape[0]
+        extreme_ks = jnp.zeros((Bt2, spec.num_players), jnp.int32)
+    else:
+        _, extreme_ks = _totals_b(player_costs, spec, current_op)
     if fuse_stages:
         quad = _empty_quad(Bt)
     else:

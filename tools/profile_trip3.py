@@ -49,13 +49,14 @@ def init(x0_b):
     bc = lambda t: jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), t)
     return batched._carry0(dyn, pcs, spec, x0_b, bc(wop), bc(wst), al0,
-                           128, False)
+                           128, False, fuse_stages=True)
 
 def steps_fn(prm, K):
     def f(x0_b, fc):
         def body(fc, _):
             fc2 = batched._trip_batched(dyn, pcs, spec, prm, x0_b, fc,
-                                        batch_block=128, interpret=False)
+                                        batch_block=128, interpret=False,
+                                        fuse_stages=True)
             return batched._bwhere(fc.done, fc, fc2), None
         fc, _ = jax.lax.scan(body, fc, None, length=K)
         return fc
@@ -66,7 +67,8 @@ def steps_fn(prm, K):
 fc = jax.jit(init)(x0)
 stats_j = jax.jit(lambda x0_b, fc: batched.iteration_step_batched(
     dyn, pcs, spec, params, x0_b, fc.al, fc.c, active=~fc.done,
-    batch_block=128, interpret=False, return_stats=True))
+    batch_block=128, interpret=False, return_stats=True,
+    fuse_stages=True))
 adv5 = steps_fn(params, 5)
 fcs = fc
 depths = []
@@ -113,7 +115,7 @@ def steps_one(K):
             c2 = batched.iteration_step_batched(
                 dyn, pcs, spec, params, x0_b, fc.al, fc.c,
                 active=~fc.done, batch_block=128, interpret=False,
-                stage1_cands=40)
+                stage1_cands=40, fuse_stages=True)
             # reuse the rest of the trip via _trip_batched? simpler: just
             # time the iteration step alone in this variant.
             return fc.replace(c=c2), None
@@ -140,7 +142,7 @@ def steps_iter(K, stage1=8):
             c2 = batched.iteration_step_batched(
                 dyn, pcs, spec, params, x0_b, fc.al, fc.c,
                 active=~fc.done, batch_block=128, interpret=False,
-                stage1_cands=stage1)
+                stage1_cands=stage1, fuse_stages=True)
             return fc.replace(c=c2), None
         fc, _ = jax.lax.scan(body, fc, None, length=K)
         return fc
