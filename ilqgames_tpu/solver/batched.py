@@ -538,10 +538,22 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
             return _bwhere(fc.done, fc, fc2)
 
     def steps(x0_b, fc):
-        def body(fc, _):
-            return trip(x0_b, fc), None
+        # Bounded while_loop instead of a fixed-length scan: a pack ends
+        # early once every (local) lane is done, so warm-started solves
+        # that converge in a few trips don't pay the full pack. Done
+        # lanes are frozen by the trip's own mask, so results are
+        # identical; under shard_map the all-done reduction is per-shard
+        # (lanes never communicate).
+        def cond(s):
+            i, fc = s
+            return (i < trips_per_call) & ~jnp.all(fc.done)
 
-        fc, _ = jax.lax.scan(body, fc, None, length=trips_per_call)
+        def body(s):
+            i, fc = s
+            return i + 1, trip(x0_b, fc)
+
+        _, fc = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), fc))
         return fc
 
     def finalize(fc):
