@@ -29,6 +29,16 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+# The axon tunnel wedges transiently after process crashes; retry init
+# instead of failing the bench run.
+for _i in range(20):
+    try:
+        jax.devices()
+        break
+    except RuntimeError as _e:
+        print(f"# device init retry {_i}: {_e}", flush=True)
+        time.sleep(15)
+
 import jax.numpy as jnp
 import numpy as np
 
