@@ -189,3 +189,47 @@ def test_full_solve_parity(setup, fuse_stages):
         res_b.total_costs, res_ref.total_costs, rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(res_b.op.xs, res_ref.op.xs, rtol=5e-3,
                                atol=5e-3)
+
+
+def test_fused_stage_extremal_problem():
+    """Fused-stage machine on an extremal-structure problem (MAX players,
+    control constraints): must match the XLA-stage machine bitwise on CPU
+    interpret — covers the stage kernel's extremal gating and control-
+    constraint AL quadraticization."""
+    from ilqgames_tpu.examples.reachability import (
+        make_three_player_collision_avoidance,
+    )
+
+    prob = make_three_player_collision_avoidance(num_time_steps=9)
+    params = SolverParams(
+        max_solver_iters=12,
+        unconstrained_solver_max_iters=4,
+        max_backtracking_steps=12,
+        initial_alpha_scaling=0.5,
+        convergence_tolerance=1.0,
+        expected_decrease_fraction=0.001,
+    )
+    rng = np.random.RandomState(3)
+    Bt = 3
+    x0b = jnp.asarray(
+        np.tile(np.asarray(prob.x0)[None], (Bt, 1))
+        + 0.05 * rng.randn(Bt, prob.spec.xdim).astype(np.float32)
+    )
+    run_f = batched.make_host_batched_solver(
+        prob.dynamics, prob.player_costs, prob.spec, params,
+        trips_per_call=6, batch_block=3, interpret=True, fuse_stages=True,
+    )
+    run_x = batched.make_host_batched_solver(
+        prob.dynamics, prob.player_costs, prob.spec, params,
+        trips_per_call=6, batch_block=3, interpret=True, fuse_stages=False,
+    )
+    rf = run_f(x0b)
+    rx = run_x(x0b)
+    np.testing.assert_array_equal(
+        np.asarray(rf.converged), np.asarray(rx.converged))
+    np.testing.assert_array_equal(
+        np.asarray(rf.cumulative_iterations),
+        np.asarray(rx.cumulative_iterations))
+    np.testing.assert_allclose(rf.total_costs, rx.total_costs,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(rf.op.xs, rx.op.xs, rtol=1e-6, atol=1e-6)
