@@ -75,6 +75,17 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
     )(op, al, extreme_ks)
 
 
+def _resolve_fuse_stages(fuse_stages):
+    """None -> the production default (True), overridable without code
+    edits via ILQ_FUSE_STAGES=0 — the escape hatch if the stage kernel
+    ever hits a Mosaic lowering gap on new hardware."""
+    if fuse_stages is None:
+        import os
+
+        return os.environ.get("ILQ_FUSE_STAGES", "1") != "0"
+    return fuse_stages
+
+
 def _empty_quad(Bt):
     """Zero-size QuadraticCosts placeholder: the fused-stage machine
     recomputes the quadraticization from (op, al) in-kernel every trip
@@ -628,7 +639,7 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
                              batch_block: int = 128,
                              interpret: bool = False,
                              mesh=None,
-                             fuse_stages: bool = True):
+                             fuse_stages: Optional[bool] = None):
     """Batched Pallas solve with bounded device programs (twin of
     fused.make_host_batched_solver): each dispatch runs `trips_per_call`
     masked trips for the whole batch; the host loops until all lanes are
@@ -641,6 +652,7 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
     docs/scaling.md). The global batch must divide mesh size *
     batch_block... or rather mesh size; each shard pads to batch_block
     lanes internally."""
+    fuse_stages = _resolve_fuse_stages(fuse_stages)
     if warm_op is None:
         warm_op = OperatingPoint.zeros(spec)
     if warm_strategy is None:
@@ -668,11 +680,13 @@ def make_host_batched_warm_solver(dyn, player_costs, spec, params,
                                   batch_block: int = 128,
                                   interpret: bool = False,
                                   mesh=None,
-                                  fuse_stages: bool = True):
+                                  fuse_stages: Optional[bool] = None):
     """Warm-started batched Pallas solve: fn(x0 [B,x], warm_op, 
     warm_strategy, al_state — all batched) -> ALResult. The receding-
     horizon replanning path (runtime/receding_horizon.py simulate_batched
     backend='pallas')."""
+
+    fuse_stages = _resolve_fuse_stages(fuse_stages)
 
     def init(x0_b, wop_b, wst_b, al_b):
         return _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
