@@ -47,27 +47,37 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
     sc_off = np.cumsum([0] + n_sc)
     cc_off = np.cumsum([0] + n_cc)
 
+    # Split a flat [Pu] control row into [P, u] without a reshape:
+    # reshapes of non-batch dims inside the double-vmapped core lower to
+    # Mosaic shape casts on the two minormost vector dims (the vmap
+    # batching rule moves the lane axis in front of the reshaped dims),
+    # which infer-vector-layout rejects. Slice + stack lowers to
+    # supported ops (static slices + major-dim concats).
+    def _split_u(uf):
+        return jnp.stack([uf[i * u:(i + 1) * u] for i in range(P)])
+
     def core(t, xv, us_flat, lamS_row, lamC_row, mu, gate_p):
-        """Per-instance, per-knot: (A [x,x], Bf [x,Pu], Qf [P*x,x],
-        lf [P*x], Rf [P*P*u,u], rf [P*P*u])."""
-        us = us_flat.reshape(P, u)
+        """Per-instance, per-knot: (A [x,x], Bf [x,Pu], Q [P,x,x],
+        l [P,x], R [P,P,u,u], r [P,P,u]) — natural ranks; the caller
+        flattens outside the kernel where reshapes are plain XLA."""
+        us = _split_u(us_flat)
         # Forward-Euler discrete Jacobians of the continuous ode
         # (dynamics/base.py:189-217). The identity enters via an
         # assembled diagonal — Mosaic kernels cannot capture a jnp.eye
-        # array constant.
+        # array constant. Ju is taken w.r.t. the FLAT control row so the
+        # [x, Pu] layout comes out of jacfwd directly (no reshape).
         Jx = jax.jacfwd(lambda xx: dyn.ode(t, xx, us))(xv)
-        Ju = jax.jacfwd(lambda uu: dyn.ode(t, xv, uu))(us)  # [x, P, u]
+        Ju = jax.jacfwd(lambda uf: dyn.ode(t, xv, _split_u(uf)))(us_flat)
         eye = assemble_matrix(
             x, [((d_, d_), jnp.full_like(t, 1.0)) for d_ in range(x)], t)
         A = eye + dt * Jx
-        Bf = dt * Ju.reshape(x, Pu)
+        Bf = dt * Ju
 
         lamS = tuple(lamS_row[sc_off[i]:sc_off[i + 1]] for i in range(P))
         lamC = tuple(lamC_row[cc_off[i]:cc_off[i + 1]] for i in range(P))
         Q, l, R, r = pcost.stage_quadraticize_core(
             player_costs, spec, lamS, lamC, mu, t, xv, us, gate_p)
-        return (A, Bf, Q.reshape(P * x, x), l.reshape(P * x),
-                R.reshape(P * P * u, u), r.reshape(P * P * u))
+        return (A, Bf, Q, l, R, r)
 
     def kernel(xs_ref, us_ref, lamS_ref, lamC_ref, mu_ref, t0_ref,
                gate_ref, ks_ref,
@@ -175,18 +185,19 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
         ks_r = next(it)
         kern(xs_r, us_r, lamS_r, lamC_r, mu_r, t0_r, gate_r, ks_r, *it)
 
+    # Natural-rank outputs (no in-kernel flattening — see core's rationale).
     out_specs = [blk((Tb, x, x, Bb)), blk((Tb, x, Pu, Bb)),
-                 blk((Tb, P * x, x, Bb)), blk((Tb, P * x, Bb)),
-                 blk((Tb, P * P * u, u, Bb)), blk((Tb, P * P * u, Bb))]
+                 blk((Tb, P, x, x, Bb)), blk((Tb, P, x, Bb)),
+                 blk((Tb, P, P, u, u, Bb)), blk((Tb, P, P, u, Bb))]
     out_shape = [
         jax.ShapeDtypeStruct((Np, x, x, B), jnp.float32),
         jax.ShapeDtypeStruct((Np, x, Pu, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P * x, x, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P * x, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P * P * u, u, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P * P * u, B), jnp.float32),
+        jax.ShapeDtypeStruct((Np, P, x, x, B), jnp.float32),
+        jax.ShapeDtypeStruct((Np, P, x, B), jnp.float32),
+        jax.ShapeDtypeStruct((Np, P, P, u, u, B), jnp.float32),
+        jax.ShapeDtypeStruct((Np, P, P, u, B), jnp.float32),
     ]
-    A, Bf, Qf, lf, Rf, rf = pl.pallas_call(
+    A, Bf, Q, l, R, r = pl.pallas_call(
         kernel,
         grid=(nb, nblk),
         in_specs=in_specs,
@@ -197,8 +208,14 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
         ),
         interpret=interpret,
     )(*operands)
-    return {"A": A[:N], "Bf": Bf[:N], "Qf": Qf[:N], "lf": lf[:N],
-            "Rf": Rf[:N], "rf": rf[:N]}
+    # Flatten to the LQ kernel's operand layout OUTSIDE the kernel: these
+    # merge adjacent major dims with the lane axis untouched, which XLA
+    # handles as pure relayout-free bitcasts.
+    return {"A": A[:N], "Bf": Bf[:N],
+            "Qf": Q[:N].reshape(N, P * x, x, B),
+            "lf": l[:N].reshape(N, P * x, B),
+            "Rf": R[:N].reshape(N, P * P * u, u, B),
+            "rf": r[:N].reshape(N, P * P * u, B)}
 
 
 class _ZeroLam:

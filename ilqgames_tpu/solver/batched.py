@@ -76,13 +76,16 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
 
 
 def _resolve_fuse_stages(fuse_stages):
-    """None -> the production default (True), overridable without code
-    edits via ILQ_FUSE_STAGES=0 — the escape hatch if the stage kernel
-    ever hits a Mosaic lowering gap on new hardware."""
+    """None -> the production default (False), overridable without code
+    edits via ILQ_FUSE_STAGES=1. The fused stage kernel is parity-pinned
+    in interpret mode but hit a Mosaic `infer-vector-layout` shape-cast
+    gap on v5e (reshapes under the double vmap — since rewritten to
+    slice/stack + natural-rank outputs); it stays opt-in until a real-TPU
+    compile+parity run is recorded in tools/."""
     if fuse_stages is None:
         import os
 
-        return os.environ.get("ILQ_FUSE_STAGES", "1") != "0"
+        return os.environ.get("ILQ_FUSE_STAGES", "0") == "1"
     return fuse_stages
 
 
