@@ -53,6 +53,15 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
     # batching rule moves the lane axis in front of the reshaped dims),
     # which infer-vector-layout rejects. Slice + stack lowers to
     # supported ops (static slices + major-dim concats).
+    #
+    # KNOWN GAP (tools/tpu_stage_check.py, v5e): under jacfwd the same
+    # stack concatenates the sliced tangent basis at mismatched vpad
+    # offsets and crashes the Mosaic compiler (internal error on
+    # tpu.concatenate of vector<6x1x2> pieces). jacfwd-in-kernel is
+    # unproven on real TPU; this kernel therefore stays opt-in
+    # (ILQ_FUSE_STAGES=1) and is exercised in interpret mode by
+    # tests/test_batched_pallas.py. It saves <10% of a trip vs the
+    # vmapped XLA stages, so the production default is the XLA path.
     def _split_u(uf):
         return jnp.stack([uf[i * u:(i + 1) * u] for i in range(P)])
 
