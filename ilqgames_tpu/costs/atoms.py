@@ -56,7 +56,12 @@ def quadratic(weight: float, dim: Optional[int], nominal: float = 0.0,
         # w*d == 2*fl(0.5w*d): bitwise-equal to autodiff of evaluate.
         return [(dim, weight * (v[dim] - nominal))]
 
-    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs)
+    def quad_pairs(t, v):
+        return ([((dim, dim), jnp.full_like(v[0], weight))],
+                grad_pairs(t, v))
+
+    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def semiquadratic(weight: float, dim: int, threshold: float,
@@ -73,7 +78,14 @@ def semiquadratic(weight: float, dim: int, threshold: float,
         active = (diff > 0.0) if oriented_right else (diff < 0.0)
         return [(dim, jnp.where(active, weight * diff, 0.0))]
 
-    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs)
+    def quad_pairs(t, v):
+        diff = v[dim] - threshold
+        active = (diff > 0.0) if oriented_right else (diff < 0.0)
+        return ([((dim, dim), jnp.where(active, weight, 0.0))],
+                grad_pairs(t, v))
+
+    return Cost(name, evaluate, support=(dim,), grad_pairs_fn=grad_pairs,
+                quad_pairs_fn=quad_pairs)
 
 
 def quadratic_norm(weight: float, dim1: int, dim2: int, nominal: float,

@@ -299,6 +299,105 @@ def stage_quadraticize_core(player_costs, spec: GameSpec, lam_state_k,
             jnp.stack(R_rows), jnp.stack(r_rows))
 
 
+def stage_quadraticize_entries(player_costs, spec: GameSpec, lam_state_k,
+                               lam_ctrl_k, mu, t, x, us, gate):
+    """`stage_quadraticize_core` as a dict of SPARSE entries with STATIC
+    keys — the form the fused Pallas stage kernel stores directly into
+    its output refs (ops/pallas/stage.py). Mosaic rejects the wide
+    output stacks `assemble_matrix` builds inside a double-vmapped
+    kernel (tpu.concatenate of vregs at mismatched vpad offsets,
+    tools/tpu_stage_check_r3.log), so the kernel never assembles: each
+    nonzero cell is one scalar store.
+
+    Keys: ("Q", i, r, c), ("l", i, r), ("R", i, j, a, b), ("r", i, j, a).
+    Missing cells are zero. Accumulation order (costs, then constraints,
+    then regularization; gate before regularization) matches
+    stage_quadraticize_core exactly, so the sums are bitwise-identical.
+
+    Every cost/constraint must provide sparse pairs (quad_pairs /
+    quad_al_pairs non-None); raises ValueError otherwise — dense
+    fallbacks would reintroduce the in-kernel stacks.
+    """
+    um = spec.umax
+    P = spec.num_players
+    xd = spec.xdim
+    u_mask_np = _np.zeros((P, um), _np.float32)
+    for _i, _d in enumerate(spec.udims):
+        u_mask_np[_i, :_d] = 1.0
+
+    def acc_into(dacc, pairs):
+        for key, v in pairs:
+            dacc[key] = dacc[key] + v if key in dacc else v
+
+    out = {}
+    for i, pc in enumerate(player_costs):
+        hacc, gacc = {}, {}
+        for c in pc.state_costs:
+            qp = c.quad_pairs(t, x)
+            if qp is None:
+                raise ValueError(
+                    f"stage_quadraticize_entries: state cost {c.name!r} "
+                    "has no sparse quad_pairs (required for the fused "
+                    "Pallas stage kernel; use fuse_stages=False)")
+            acc_into(hacc, qp[0])
+            acc_into(gacc, qp[1])
+        for ci, con in enumerate(pc.state_constraints):
+            qp = con.quad_al_pairs(t, x, lam_state_k[i][ci], mu)
+            if qp is None:
+                raise ValueError(
+                    f"stage_quadraticize_entries: state constraint "
+                    f"{con.name!r} has no sparse quad_al_pairs")
+            acc_into(hacc, qp[0])
+            acc_into(gacc, qp[1])
+        # Extremal gating BEFORE regularization (quadraticize order).
+        for (r, c_), v in hacc.items():
+            out[("Q", i, r, c_)] = v * gate[i]
+        for r, v in gacc.items():
+            out[("l", i, r)] = v * gate[i]
+        if pc.state_regularization != 0.0:
+            reg = jnp.full_like(x[0], pc.state_regularization)
+            for d_ in range(xd):
+                key = ("Q", i, d_, d_)
+                out[key] = out[key] + reg if key in out else reg
+
+        cps = pc.control_players()
+        for j in range(P):
+            if j not in cps:
+                continue
+            hacc, gacc = {}, {}
+            for jj, c in pc.control_costs:
+                if jj != j:
+                    continue
+                qp = c.quad_pairs(t, us[j])
+                if qp is None:
+                    raise ValueError(
+                        f"stage_quadraticize_entries: control cost "
+                        f"{c.name!r} has no sparse quad_pairs")
+                acc_into(hacc, qp[0])
+                acc_into(gacc, qp[1])
+            for ci, (jj, con) in enumerate(pc.control_constraints):
+                if jj != j:
+                    continue
+                qp = con.quad_al_pairs(t, us[j], lam_ctrl_k[i][ci], mu)
+                if qp is None:
+                    raise ValueError(
+                        f"stage_quadraticize_entries: control constraint "
+                        f"{con.name!r} has no sparse quad_al_pairs")
+                acc_into(hacc, qp[0])
+                acc_into(gacc, qp[1])
+            if pc.control_regularization != 0.0:
+                reg = pc.control_regularization
+                acc_into(hacc, (
+                    ((a, a), jnp.full_like(us[i, 0],
+                                           reg * float(u_mask_np[j, a])))
+                    for a in range(um)))
+            for (a, b), v in hacc.items():
+                out[("R", i, j, a, b)] = v
+            for a, v in gacc.items():
+                out[("r", i, j, a)] = v
+    return out
+
+
 def stage_gradients(player_costs, spec: GameSpec, al: ALState, k, t, x, us):
     """Gradients of every player's cost at ONE stage: (l [P,xdim],
     r_own [P,umax]) — the gradient components of `quadraticize` (custom

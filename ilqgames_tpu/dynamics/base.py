@@ -40,6 +40,15 @@ class SinglePlayerModel:
     ode: Callable  # (t, x_sub [xdim], u [udim]) -> xdot [xdim]
     # Joint-state indices of (px, py) for costs/rendering, if meaningful.
     position_dims: Tuple[int, ...] = ()
+    # Analytic continuous Jacobians as SPARSE entries (the reference's
+    # hand-written Linearize, e.g. src/single_player_car_6d.cpp:58-67,
+    # minus the I + dt* discretization applied by linearize_core):
+    # (t, x_sub, u) -> (jx_entries, ju_entries), each a list of
+    # ((row, col), scalar) pairs. Used inside Pallas kernels, where
+    # jacfwd's tangent bookkeeping does not lower on Mosaic
+    # (tools/tpu_stage_check.txt); autodiff remains the fallback and the
+    # test oracle (tests/test_linearization.py).
+    jac: Optional[Callable] = None
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -65,6 +74,12 @@ class MultiPlayerDynamics:
     from_linear_state: Optional[Callable] = None
     linear_state_singular: Optional[Callable] = None
     constant_linearization: Optional[Callable] = None  # (spec) -> (A, Bs)
+    # Analytic continuous Jacobians in JOINT coordinates:
+    # (t, x, us) -> (jx_entries, ju_entries) where jx_entries are
+    # ((row, col), scalar) over the joint state and ju_entries are
+    # ((row, player, ucol), scalar). Built by `concatenate` from
+    # per-model `jac`s; monolithic models provide it directly.
+    ode_jac: Optional[Callable] = None
 
     @property
     def num_players(self) -> int:
@@ -115,12 +130,32 @@ def concatenate(
         tuple(offsets[i] + d for d in m.position_dims)
         for i, m in enumerate(models)
     )
+
+    ode_jac = None
+    if all(m.jac is not None for m in models):
+        # Block-diagonal sparse assembly of the per-player analytic
+        # Jacobians (reference ConcatenatedDynamicalSystem::Linearize,
+        # src/concatenated_dynamical_system.cpp:86-107).
+        def ode_jac(t, x, us):
+            jx_entries = []
+            ju_entries = []
+            for i, m in enumerate(models):
+                o = offsets[i]
+                x_sub = x[o:o + m.xdim]
+                jxe, jue = m.jac(t, x_sub, us[i, : m.udim])
+                jx_entries.extend(
+                    ((o + r, o + c), v) for (r, c), v in jxe)
+                ju_entries.extend(
+                    ((o + r, i, c), v) for (r, c), v in jue)
+            return jx_entries, ju_entries
+
     return MultiPlayerDynamics(
         name=name,
         xdims=xdims,
         udims=udims,
         ode=ode,
         position_dims=position_dims,
+        ode_jac=ode_jac,
     )
 
 
@@ -184,8 +219,72 @@ def rollout(
 
 
 # ---------------------------------------------------------------------------
-# Discrete-time linearization via autodiff.
+# Discrete-time linearization: analytic sparse Jacobians when the model
+# provides them (kernel-safe, faster), autodiff otherwise.
 # ---------------------------------------------------------------------------
+def _assemble_rect(nrows, ncols, entries, like):
+    """[nrows, ncols] from static ((i, j), scalar) pairs — built with
+    stacks (no scatters: this traces inside Pallas kernels, and Mosaic
+    has no scatter lowering). Python-float entries are broadcast against
+    `like` so every stacked element has the scalar trace's shape.
+    Duplicate indices accumulate."""
+    zero = jnp.zeros_like(like)
+    acc = {}
+    for ij, v in entries:
+        v = zero + v  # normalizes python floats / broadcasts under vmap
+        acc[ij] = acc[ij] + v if ij in acc else v
+    return jnp.stack([
+        jnp.stack([acc.get((i, j), zero) for j in range(ncols)])
+        for i in range(nrows)
+    ])
+
+
+def linearize_entries(
+    dyn: MultiPlayerDynamics, dt: float, umax: int, t, x, us
+) -> dict:
+    """Per-knot discrete linearization as a dict of SPARSE entries with
+    static keys ("A", r, c) / ("Bf", r, p*umax + c) -> scalar, with
+    A = I + dt*Jx, Bf = dt*Ju. The fused stage kernel stores these
+    directly (no in-kernel stacks — Mosaic rejects wide vreg
+    concatenates at mismatched offsets)."""
+    jx_entries, ju_entries = dyn.ode_jac(t, x, us)
+    like = x[0]
+    out = {}
+
+    def add(key, v):
+        out[key] = out[key] + v if key in out else v
+
+    one = jnp.full_like(like, 1.0)
+    for d in range(sum(dyn.xdims)):
+        add(("A", d, d), one)
+    for (r, c), v in jx_entries:
+        add(("A", r, c), dt * v)
+    for (r, p, c), v in ju_entries:
+        add(("Bf", r, p * umax + c), dt * v)
+    return {k: jnp.zeros_like(like) + v for k, v in out.items()}
+
+
+def linearize_core(
+    dyn: MultiPlayerDynamics, dt: float, umax: int, t, x, us
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-knot discrete linearization from the model's ANALYTIC sparse
+    Jacobians: (A [x, x], Bf [x, P*umax]) with A = I + dt*Jx,
+    Bf = dt*Ju (forward-Euler convention, as the reference's hand-written
+    Linearize methods). Pure stack/arith trace — runs inside Pallas
+    kernels where jacfwd does not lower on Mosaic."""
+    xdim = sum(dyn.xdims)
+    P = dyn.num_players
+    jx_entries, ju_entries = dyn.ode_jac(t, x, us)
+    like = x[0]
+    a_entries = [((d, d), 1.0) for d in range(xdim)]
+    a_entries += [((i, j), dt * v) for (i, j), v in jx_entries]
+    A = _assemble_rect(xdim, xdim, a_entries, like)
+    b_entries = [((i, p * umax + c), dt * v)
+                 for (i, p, c), v in ju_entries]
+    Bf = _assemble_rect(xdim, P * umax, b_entries, like)
+    return A, Bf
+
+
 def linearize(
     dyn: MultiPlayerDynamics, spec: GameSpec, op: OperatingPoint
 ) -> LinearDynamics:
@@ -193,7 +292,9 @@ def linearize(
 
     Matches the reference's analytic discrete Jacobians, which use the
     forward-Euler convention regardless of the RK4 rollout
-    (e.g. dynamics/single_player_car_5d.h Linearize)."""
+    (e.g. dynamics/single_player_car_5d.h Linearize). Models with
+    analytic `ode_jac` use it (same formulas as the reference's
+    Linearize); autodiff is the fallback and the cross-check oracle."""
     if dyn.treat_as_linear and dyn.constant_linearization is not None:
         A, Bs = dyn.constant_linearization(spec)
         N = spec.num_time_steps
@@ -204,13 +305,40 @@ def linearize(
 
     eye = jnp.eye(spec.xdim, dtype=jnp.float32)
 
+    if dyn.ode_jac is not None:
+        def lin_at(k, x, us):
+            t = op.t0 + k.astype(jnp.float32) * spec.dt
+            A, Bf = linearize_core(dyn, spec.dt, spec.umax, t, x, us)
+            Bs = jnp.transpose(
+                Bf.reshape(spec.xdim, spec.num_players, spec.umax),
+                (1, 0, 2))
+            return A, Bs
+    else:
+        def lin_at(k, x, us):
+            t = op.t0 + k.astype(jnp.float32) * spec.dt
+            Jx = jax.jacfwd(lambda xx: dyn.ode(t, xx, us))(x)
+            Ju = jax.jacfwd(lambda uu: dyn.ode(t, x, uu))(us)  # [x,P,umax]
+            A = eye + spec.dt * Jx
+            Bs = spec.dt * jnp.transpose(Ju, (1, 0, 2))  # [P, x, umax]
+            return A, Bs
+
+    ks = jnp.arange(spec.num_time_steps)
+    A, Bs = jax.vmap(lin_at)(ks, op.xs, op.us)
+    return LinearDynamics(A=A, Bs=Bs)
+
+
+def linearize_autodiff(
+    dyn: MultiPlayerDynamics, spec: GameSpec, op: OperatingPoint
+) -> LinearDynamics:
+    """jacfwd-only linearization — the oracle the analytic path is tested
+    against (tests/test_linearization.py)."""
+    eye = jnp.eye(spec.xdim, dtype=jnp.float32)
+
     def lin_at(k, x, us):
         t = op.t0 + k.astype(jnp.float32) * spec.dt
         Jx = jax.jacfwd(lambda xx: dyn.ode(t, xx, us))(x)
-        Ju = jax.jacfwd(lambda uu: dyn.ode(t, x, uu))(us)  # [x, P, umax]
-        A = eye + spec.dt * Jx
-        Bs = spec.dt * jnp.transpose(Ju, (1, 0, 2))  # [P, x, umax]
-        return A, Bs
+        Ju = jax.jacfwd(lambda uu: dyn.ode(t, x, uu))(us)
+        return eye + spec.dt * Jx, spec.dt * jnp.transpose(Ju, (1, 0, 2))
 
     ks = jnp.arange(spec.num_time_steps)
     A, Bs = jax.vmap(lin_at)(ks, op.xs, op.us)

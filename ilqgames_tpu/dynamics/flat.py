@@ -236,6 +236,15 @@ def concatenate_flat(
         Bs = spec.dt * B_cont_j
         return A, Bs
 
+    def ode_jac(t, xi, vs):
+        # The flat system IS linear in xi: the Jacobians are the constant
+        # sparse entries (kernel-safe form for ops/pallas/stage.py).
+        jx_entries = [((r, c), a)
+                      for r in range(xdim) for c, a in rows_a[r]]
+        ju_entries = [((r, p, c), b)
+                      for r in range(xdim) for p, c, b in rows_b[r]]
+        return jx_entries, ju_entries
+
     def _per_player(fn_name):
         def apply(z):
             parts = []
@@ -271,6 +280,7 @@ def concatenate_flat(
         from_linear_state=from_linear_state,
         linear_state_singular=linear_state_singular,
         constant_linearization=constant_linearization,
+        ode_jac=ode_jac,
     )
 
 

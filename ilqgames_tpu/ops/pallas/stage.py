@@ -12,10 +12,12 @@ Knot-parallel layout: knots ride the sublane axis in blocks of 8 (the
 per-knot work is embarrassingly parallel — only the Riccati/rollout
 recursions are sequential), lanes carry the batch. Every scalar in the
 per-knot trace becomes one [8, Bb] vreg op. The per-knot math is NOT
-reimplemented: `dyn.ode` Jacobians via `jax.jacfwd` (the same
-forward-Euler convention as dynamics/base.linearize) and
-`pcost.stage_quadraticize_core` are double-vmapped inside the kernel,
-so semantics match the XLA path by construction.
+reimplemented: the dynamics' analytic sparse Jacobians
+(`dynamics/base.linearize_core` — the same forward-Euler convention and
+formulas as base.linearize) and `pcost.stage_quadraticize_core` are
+double-vmapped inside the kernel, so semantics match the XLA path by
+construction. The whole kernel trace is autodiff-free: jacfwd's
+tangent-basis slicing does not lower on Mosaic (v5e).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ilqgames_tpu.costs import player_cost as pcost
-from ilqgames_tpu.costs.base import assemble_matrix
+from ilqgames_tpu.dynamics import base as dyn_base
 from ilqgames_tpu.types import GameSpec
 
 _TB = 8  # knots per grid step (one sublane tile)
@@ -47,46 +49,50 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
     sc_off = np.cumsum([0] + n_sc)
     cc_off = np.cumsum([0] + n_cc)
 
+    if dyn.ode_jac is None:
+        raise ValueError(
+            "lin_quad_pallas needs analytic Jacobians (dyn.ode_jac): "
+            "jacfwd-in-kernel does not lower on Mosaic (v5e rejects the "
+            "tangent-basis tpu.concatenate at mismatched vpad offsets — "
+            "tools/tpu_stage_check.txt). Every model in dynamics/models.py "
+            "and every flat/concatenated system provides ode_jac."
+        )
+
     # Split a flat [Pu] control row into [P, u] without a reshape:
     # reshapes of non-batch dims inside the double-vmapped core lower to
     # Mosaic shape casts on the two minormost vector dims (the vmap
     # batching rule moves the lane axis in front of the reshaped dims),
     # which infer-vector-layout rejects. Slice + stack lowers to
     # supported ops (static slices + major-dim concats).
-    #
-    # KNOWN GAP (tools/tpu_stage_check.py, v5e): under jacfwd the same
-    # stack concatenates the sliced tangent basis at mismatched vpad
-    # offsets and crashes the Mosaic compiler (internal error on
-    # tpu.concatenate of vector<6x1x2> pieces). jacfwd-in-kernel is
-    # unproven on real TPU; this kernel therefore stays opt-in
-    # (ILQ_FUSE_STAGES=1) and is exercised in interpret mode by
-    # tests/test_batched_pallas.py. It saves <10% of a trip vs the
-    # vmapped XLA stages, so the production default is the XLA path.
     def _split_u(uf):
         return jnp.stack([uf[i * u:(i + 1) * u] for i in range(P)])
 
     def core(t, xv, us_flat, lamS_row, lamC_row, mu, gate_p):
-        """Per-instance, per-knot: (A [x,x], Bf [x,Pu], Q [P,x,x],
-        l [P,x], R [P,P,u,u], r [P,P,u]) — natural ranks; the caller
-        flattens outside the kernel where reshapes are plain XLA."""
-        us = _split_u(us_flat)
-        # Forward-Euler discrete Jacobians of the continuous ode
-        # (dynamics/base.py:189-217). The identity enters via an
-        # assembled diagonal — Mosaic kernels cannot capture a jnp.eye
-        # array constant. Ju is taken w.r.t. the FLAT control row so the
-        # [x, Pu] layout comes out of jacfwd directly (no reshape).
-        Jx = jax.jacfwd(lambda xx: dyn.ode(t, xx, us))(xv)
-        Ju = jax.jacfwd(lambda uf: dyn.ode(t, xv, _split_u(uf)))(us_flat)
-        eye = assemble_matrix(
-            x, [((d_, d_), jnp.full_like(t, 1.0)) for d_ in range(x)], t)
-        A = eye + dt * Jx
-        Bf = dt * Ju
+        """Per-instance, per-knot SPARSE entries: one dict with static
+        keys ("A", r, c), ("Bf", r, col), ("Q", i, r, c), ("l", i, r),
+        ("R", i, j, a, b), ("r", i, j, a) -> traced scalars. A dict IS a
+        pytree with static structure, so the double vmap batches every
+        value into a [Tb, B] tile and the kernel stores each tile
+        directly — NO output assembly. This is the load-bearing Mosaic
+        constraint: wide stacks of per-cell scalars (assemble_matrix
+        under the double vmap) lower to tpu.concatenate of vregs at
+        mismatched vpad offsets, which the v5e compiler rejects
+        (tools/tpu_stage_check_r3.log); per-tile stores at static
+        indices are the native formulation.
 
+        Jacobians come from the model's ANALYTIC sparse entries
+        (dynamics/base.linearize_entries — the same formulas as the
+        reference's hand-written Linearize,
+        src/single_player_car_6d.cpp:58-67): jacfwd's tangent-basis
+        slicing also does not lower on Mosaic."""
+        us = _split_u(us_flat)
+        entries = dyn_base.linearize_entries(dyn, dt, u, t, xv, us)
         lamS = tuple(lamS_row[sc_off[i]:sc_off[i + 1]] for i in range(P))
         lamC = tuple(lamC_row[cc_off[i]:cc_off[i + 1]] for i in range(P))
-        Q, l, R, r = pcost.stage_quadraticize_core(
-            player_costs, spec, lamS, lamC, mu, t, xv, us, gate_p)
-        return (A, Bf, Q, l, R, r)
+        entries.update(pcost.stage_quadraticize_entries(
+            player_costs, spec, lamS, lamC, mu, t, xv, us, gate_p))
+        like = xv[0]
+        return {k: jnp.zeros_like(like) + v for k, v in entries.items()}
 
     def kernel(xs_ref, us_ref, lamS_ref, lamC_ref, mu_ref, t0_ref,
                gate_ref, ks_ref,
@@ -105,13 +111,17 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
                          out_axes=-1)
         outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, None, 0),
                          out_axes=0)
-        A, Bf, Qf, lf, Rf, rf = outer(t, xs, us, lamS, lamC, mu, gate)
-        A_ref[...] = A
-        Bf_ref[...] = Bf
-        Qf_ref[...] = Qf
-        lf_ref[...] = lf
-        Rf_ref[...] = Rf
-        rf_ref[...] = rf
+        vals = outer(t, xs, us, lamS, lamC, mu, gate)  # key -> [Tb, B]
+
+        # Entry-major output refs ([*entry dims, Tb, Bb]): each store
+        # below writes one FULL (Tb, Bb) = (8, 128) tile at a static
+        # entry index — aligned whole-vreg stores, no relayouts.
+        refs = {"A": A_ref, "Bf": Bf_ref, "Q": Qf_ref, "l": lf_ref,
+                "R": Rf_ref, "r": rf_ref}
+        for name, ref in refs.items():
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
+        for key in sorted(vals.keys()):
+            refs[key[0]][key[1:]] = vals[key]
 
     return kernel
 
@@ -194,17 +204,23 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
         ks_r = next(it)
         kern(xs_r, us_r, lamS_r, lamC_r, mu_r, t0_r, gate_r, ks_r, *it)
 
-    # Natural-rank outputs (no in-kernel flattening — see core's rationale).
-    out_specs = [blk((Tb, x, x, Bb)), blk((Tb, x, Pu, Bb)),
-                 blk((Tb, P, x, x, Bb)), blk((Tb, P, x, Bb)),
-                 blk((Tb, P, P, u, u, Bb)), blk((Tb, P, P, u, Bb))]
+    # ENTRY-MAJOR outputs ([*entry dims, Np, B]): the kernel writes one
+    # full (Tb, Bb) tile per nonzero entry at static entry indices —
+    # aligned whole-vreg stores. Knot-major refs would make every store
+    # a sublane-strided scatter (the value's sublane axis is knots).
+    em = lambda shape: pl.BlockSpec(
+        shape, lambda b, s: (0,) * (len(shape) - 2) + (s, b),
+        memory_space=pltpu.VMEM)
+    out_specs = [em((x, x, Tb, Bb)), em((x, Pu, Tb, Bb)),
+                 em((P, x, x, Tb, Bb)), em((P, x, Tb, Bb)),
+                 em((P, P, u, u, Tb, Bb)), em((P, P, u, Tb, Bb))]
     out_shape = [
-        jax.ShapeDtypeStruct((Np, x, x, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, x, Pu, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P, x, x, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P, x, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P, P, u, u, B), jnp.float32),
-        jax.ShapeDtypeStruct((Np, P, P, u, B), jnp.float32),
+        jax.ShapeDtypeStruct((x, x, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct((x, Pu, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct((P, x, x, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct((P, x, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct((P, P, u, u, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct((P, P, u, Np, B), jnp.float32),
     ]
     A, Bf, Q, l, R, r = pl.pallas_call(
         kernel,
@@ -217,14 +233,16 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
         ),
         interpret=interpret,
     )(*operands)
-    # Flatten to the LQ kernel's operand layout OUTSIDE the kernel: these
-    # merge adjacent major dims with the lane axis untouched, which XLA
-    # handles as pure relayout-free bitcasts.
-    return {"A": A[:N], "Bf": Bf[:N],
-            "Qf": Q[:N].reshape(N, P * x, x, B),
-            "lf": l[:N].reshape(N, P * x, B),
-            "Rf": R[:N].reshape(N, P * P * u, u, B),
-            "rf": r[:N].reshape(N, P * P * u, B)}
+    # To the LQ kernel's knot-major operand layout OUTSIDE the kernel:
+    # moveaxis pulls the knot axis in front (a major-dim transpose — the
+    # lane axis stays minormost, so XLA relayouts without shuffling
+    # lanes), then the entry-dim merges are relayout-free bitcasts.
+    km = lambda a: jnp.moveaxis(a, -2, 0)[:N]
+    return {"A": km(A), "Bf": km(Bf),
+            "Qf": km(Q).reshape(N, P * x, x, B),
+            "lf": km(l).reshape(N, P * x, B),
+            "Rf": km(R).reshape(N, P * P * u, u, B),
+            "rf": km(r).reshape(N, P * P * u, B)}
 
 
 class _ZeroLam:

@@ -6,8 +6,9 @@ bookkeeping — reference src/ilq_solver.cpp:123-165 +
 src/augmented_lagrangian_solver.cpp:108-178) but operates on whole
 batches: the horizon recursions (LQ backward/forward, rollout, linesearch
 sweep) run as Pallas kernels over the full batch instead of vmapped
-`lax.scan`s. With `fuse_stages` (the production default), linearize +
-quadraticize also run in one knot-parallel Pallas kernel
+`lax.scan`s. With `fuse_stages` (opt-in; see _resolve_fuse_stages for
+the default and why), linearize + quadraticize also run in one
+knot-parallel Pallas kernel
 (ops/pallas/stage.py) that feeds the LQ kernel batch-minor directly —
 the quadraticization is recomputed from (op, al) each trip instead of
 carried (bit-equivalent; see _empty_quad), and only cost totals /

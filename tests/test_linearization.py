@@ -90,6 +90,35 @@ def test_linearization_matches_finite_differences(dyn):
             assert np.abs(Bs[p][:, j]).max() == 0.0
 
 
+@pytest.mark.parametrize("dyn", CASES, ids=lambda d: d.name)
+def test_analytic_jacobians_match_autodiff(dyn):
+    """The hand-written sparse Jacobians (models.py `jac` / `ode_jac`,
+    mirroring the reference's analytic Linearize methods) against
+    jax.jacfwd of the same vector field, at tight float32 tolerance.
+    These run INSIDE Pallas kernels (ops/pallas/stage.py) where jacfwd
+    does not lower on Mosaic — this is their correctness oracle."""
+    assert dyn.ode_jac is not None, dyn.name
+    spec = dyn.spec(dt=DT, num_time_steps=2)
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        x = (0.5 * rng.randn(spec.xdim)).astype(np.float32)
+        us = (
+            rng.randn(spec.num_players, spec.umax)
+            * np.asarray(spec.u_mask())
+        ).astype(np.float32)
+        op = OperatingPoint(
+            xs=jnp.tile(jnp.asarray(x)[None], (2, 1)),
+            us=jnp.tile(jnp.asarray(us)[None], (2, 1, 1)),
+            t0=jnp.float32(0.0),
+        )
+        ana = dyn_base.linearize(dyn, spec, op)
+        ad = dyn_base.linearize_autodiff(dyn, spec, op)
+        assert np.abs(np.asarray(ana.A) - np.asarray(ad.A)).max() < 2e-6, \
+            dyn.name
+        assert np.abs(np.asarray(ana.Bs) - np.asarray(ad.Bs)).max() < 2e-6, \
+            dyn.name
+
+
 def test_flat_coordinate_roundtrip():
     """to_linear and from_linear invert each other away from singularities."""
     dyn = flat.concatenate_flat(

@@ -45,7 +45,11 @@ def main():
     op0 = problem.initial_operating_point()
     op = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), op0)
-    op = op.replace(xs=op.xs.at[:, 0].set(jnp.asarray(x0)) + 0.01)
+    # Perturb the later knots off the zero operating point so the
+    # quadraticization sees non-degenerate inputs, then pin the initial
+    # row to x0 exactly; both paths consume the same op, so parity is
+    # unaffected by the perturbation.
+    op = op.replace(xs=(op.xs + 0.01).at[:, 0].set(jnp.asarray(x0)))
     al = jax.vmap(lambda _: pcost.ALState.init(pcs, spec))(jnp.arange(B))
     ek = jnp.zeros((B, P), jnp.int32)
     gate = _extreme_gate_b(pcs, spec, ek)
@@ -74,8 +78,6 @@ def main():
     def mx(a, b):
         return float(jnp.max(jnp.abs(a - b)))
 
-    ref_Bf = jnp.moveaxis(lin.Bs, 0, -1).transpose(1, 3, 2, 0) \
-        if False else None
     # batch-minor refs: bm(t) moves batch last.
     d = {
         "dA": mx(outs["A"], bm(lin.A)),
