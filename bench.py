@@ -99,6 +99,12 @@ def main():
 
     solves_per_sec_per_chip = batch / elapsed / n_chips
     baseline = _reference_solves_per_sec()
+    # Residual evidence backing "tolerance-matched": the batch's final
+    # max-constraint-violation distribution and per-player mean costs,
+    # against the reference's recorded final state on the same problem
+    # (baselines/measured.json: success=0, final_costs — its violation
+    # machinery at src/augmented_lagrangian_solver.cpp:116-140).
+    mv = np.asarray(res.max_violation)
     print(
         json.dumps(
             {
@@ -106,6 +112,12 @@ def main():
                 "value": round(solves_per_sec_per_chip, 3),
                 "unit": "solves/s/chip",
                 "vs_baseline": round(solves_per_sec_per_chip / baseline, 3),
+                "viol_p50": round(float(np.percentile(mv, 50)), 4),
+                "viol_p95": round(float(np.percentile(mv, 95)), 4),
+                "mean_costs": [
+                    round(float(c), 1)
+                    for c in np.asarray(res.total_costs).mean(axis=0)
+                ],
             }
         )
     )

@@ -99,11 +99,22 @@ def _throughput(problem, params, B, batch_block=128, trips_per_call=20,
     res = run(x0)
     jax.block_until_ready(res.op.xs)
     dt = time.perf_counter() - t0
+    # Residual evidence for "tolerance-matched" (VERDICT r2 #5): the
+    # batch's final max-constraint-violation distribution and per-player
+    # mean costs, comparable against the reference's recorded final state
+    # (baselines/measured.json final_costs; its violation machinery:
+    # src/augmented_lagrangian_solver.cpp:116-140).
+    mv = np.asarray(res.max_violation)
     stats = dict(
         B=B, wall_s=round(dt, 2),
         converged=round(float(jnp.mean(res.converged.astype(jnp.float32))), 4),
         mean_iters=round(float(jnp.mean(
             res.cumulative_iterations.astype(jnp.float32))), 1),
+        viol_p50=round(float(np.percentile(mv, 50)), 4),
+        viol_p95=round(float(np.percentile(mv, 95)), 4),
+        viol_max=round(float(mv.max()), 4),
+        mean_costs=[round(float(c), 1)
+                    for c in np.asarray(res.total_costs).mean(axis=0)],
     )
     return B / dt, stats
 

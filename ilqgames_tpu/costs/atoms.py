@@ -46,7 +46,19 @@ def quadratic(weight: float, dim: Optional[int], nominal: float = 0.0,
             d = v - nominal
             return 0.5 * weight * jnp.sum(d * d)
 
-        return Cost(name, evaluate)
+        def grad_pairs_all(t, v):
+            return [(d_, weight * (v[d_] - nominal))
+                    for d_ in range(v.shape[0])]
+
+        def quad_pairs_all(t, v):
+            # w*I over ALL dims (incl. control padding dims), exactly as
+            # dense autodiff of `evaluate` produces.
+            return ([((d_, d_), jnp.full_like(v[0], weight))
+                     for d_ in range(v.shape[0])],
+                    grad_pairs_all(t, v))
+
+        return Cost(name, evaluate, grad_pairs_fn=grad_pairs_all,
+                    quad_pairs_fn=quad_pairs_all)
 
     def evaluate(t, v):
         d = v[dim] - nominal

@@ -43,8 +43,17 @@ def single_dimension(dim: int, threshold: float, keep_below: bool,
         ct = lam + _mu_eff_ineq(gval, lam, mu) * gval
         return [(dim, ct if keep_below else -ct)]
 
+    def al_quad_pairs(t, v, lam, mu):
+        # g is affine: hess = mu_eff * dg dg^T = mu_eff at (dim, dim).
+        gval = g(t, v)
+        mu_eff = _mu_eff_ineq(gval, lam, mu)
+        ct = lam + mu_eff * gval
+        return ([((dim, dim), mu_eff)],
+                [(dim, ct if keep_below else -ct)])
+
     return Constraint(name, g, is_equality=False, support=(dim,),
-                      al_grad_pairs_fn=al_grad_pairs)
+                      al_grad_pairs_fn=al_grad_pairs,
+                      al_quad_pairs_fn=al_quad_pairs)
 
 
 def affine_scalar(a, b: float, is_equality: bool,
@@ -122,9 +131,57 @@ def proximity(dims1: Tuple[int, int], dims2: Tuple[int, int], threshold: float,
         return [(dims1[0], px), (dims1[1], py),
                 (dims2[0], -px), (dims2[1], -py)]
 
+    def al_quad_pairs(t, v, lam, mu):
+        """Analytic AL quadraticization (reference ModifyDerivatives
+        algebra, src/constraint.cpp:62-89, on the proximity derivatives
+        of src/proximity_constraint.cpp:45-117):
+          grad = (lam + mu_eff*g) * dg
+          hess = mu_eff * dg dg^T + (lam + mu_eff*g) * d2g
+        with dg = s*(dx, dy, -dx, -dy)/prox and d2g the radial-distance
+        Hessian s*(I - n n^T)/prox. The autodiff fallback traced a
+        4-dim jax.hessian of evaluate_al INSIDE the Pallas stage kernel,
+        whose tangent bookkeeping OOM-killed the Mosaic compile helper
+        (tools/tpu_stage_check.txt stage_kernel_qstate)."""
+        x1, y1 = dims1
+        x2, y2 = dims2
+        dx = v[x1] - v[x2]
+        dy = v[y1] - v[y2]
+        ssq = dx * dx + dy * dy
+        prox = jnp.sqrt(jnp.maximum(ssq, _EPS))
+        gval = s * (prox - threshold)
+        live = (ssq >= _EPS).astype(jnp.float32)
+        mu_eff = _mu_eff_ineq(gval, lam, mu)
+        lam_t = lam + mu_eff * gval
+        inv = 1.0 / prox
+        gx = s * dx * inv
+        gy = s * dy * inv
+        # Gradient pairs (same scalars as al_grad_pairs).
+        ct = lam_t * live
+        px = ct * gx
+        py = ct * gy
+        gp = [(x1, px), (y1, py), (x2, -px), (y2, -py)]
+        # Hessian in the (dx, dy) difference coordinates.
+        nx = dx * inv
+        ny = dy * inv
+        hxx = (mu_eff * gx * gx + lam_t * s * (ny * ny) * inv) * live
+        hyy = (mu_eff * gy * gy + lam_t * s * (nx * nx) * inv) * live
+        hxy = (mu_eff * gx * gy - lam_t * s * (nx * ny) * inv) * live
+        hp = [
+            ((x1, x1), hxx), ((y1, y1), hyy),
+            ((x1, y1), hxy), ((y1, x1), hxy),
+            ((x2, x2), hxx), ((y2, y2), hyy),
+            ((x2, y2), hxy), ((y2, x2), hxy),
+            ((x1, x2), -hxx), ((x2, x1), -hxx),
+            ((y1, y2), -hyy), ((y2, y1), -hyy),
+            ((x1, y2), -hxy), ((y2, x1), -hxy),
+            ((y1, x2), -hxy), ((x2, y1), -hxy),
+        ]
+        return hp, gp
+
     return Constraint(name, g, is_equality=False,
                       support=tuple(dims1) + tuple(dims2),
-                      al_grad_pairs_fn=al_grad_pairs)
+                      al_grad_pairs_fn=al_grad_pairs,
+                      al_quad_pairs_fn=al_quad_pairs)
 
 
 def polyline2_signed_distance(points, xidx: int, yidx: int, threshold: float,

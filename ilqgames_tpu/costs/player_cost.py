@@ -300,7 +300,8 @@ def stage_quadraticize_core(player_costs, spec: GameSpec, lam_state_k,
 
 
 def stage_quadraticize_entries(player_costs, spec: GameSpec, lam_state_k,
-                               lam_ctrl_k, mu, t, x, us, gate):
+                               lam_ctrl_k, mu, t, x, us, gate,
+                               include_state=True, include_ctrl=True):
     """`stage_quadraticize_core` as a dict of SPARSE entries with STATIC
     keys — the form the fused Pallas stage kernel stores directly into
     its output refs (ops/pallas/stage.py). Mosaic rejects the wide
@@ -317,6 +318,11 @@ def stage_quadraticize_entries(player_costs, spec: GameSpec, lam_state_k,
     Every cost/constraint must provide sparse pairs (quad_pairs /
     quad_al_pairs non-None); raises ValueError otherwise — dense
     fallbacks would reintroduce the in-kernel stacks.
+
+    include_state / include_ctrl: True (all players), False (none), or a
+    tuple of player indices — the stage kernel compiles per-part
+    sub-kernels to bound Mosaic's per-compile working set (the fused
+    trace OOM-killed the v5e compile helper).
     """
     um = spec.umax
     P = spec.num_players
@@ -329,8 +335,20 @@ def stage_quadraticize_entries(player_costs, spec: GameSpec, lam_state_k,
         for key, v in pairs:
             dacc[key] = dacc[key] + v if key in dacc else v
 
+    def as_sel(inc):
+        if inc is True:
+            return tuple(range(P))
+        if inc is False:
+            return ()
+        return tuple(inc)
+
+    state_sel = as_sel(include_state)
+    ctrl_sel = as_sel(include_ctrl)
+
     out = {}
     for i, pc in enumerate(player_costs):
+        if i not in state_sel:
+            continue
         hacc, gacc = {}, {}
         for c in pc.state_costs:
             qp = c.quad_pairs(t, x)
@@ -360,6 +378,9 @@ def stage_quadraticize_entries(player_costs, spec: GameSpec, lam_state_k,
                 key = ("Q", i, d_, d_)
                 out[key] = out[key] + reg if key in out else reg
 
+    for i, pc in enumerate(player_costs):
+        if i not in ctrl_sel:
+            continue
         cps = pc.control_players()
         for j in range(P):
             if j not in cps:

@@ -37,8 +37,33 @@ from ilqgames_tpu.types import GameSpec
 _TB = 8  # knots per grid step (one sublane tile)
 
 
+_ALL_PARTS = ("lin", "qstate", "qctrl")
+
+
+def _part_outs(part):
+    """Output names a part produces (order = positional output refs).
+    Parts: "lin"; "qstate" (all players) or "qstateI" (player I only);
+    "qctrl" / "qctrlI"."""
+    if part == "lin":
+        return ("A", "Bf")
+    if part.startswith("qstate"):
+        return ("Q", "l")
+    if part.startswith("qctrl"):
+        return ("R", "r")
+    raise ValueError(f"unknown stage-kernel part {part!r}")
+
+
+def _players_of(parts, prefix):
+    """True (all players) / tuple of player indices / () for a prefix."""
+    if prefix in parts:
+        return True
+    sel = tuple(int(p[len(prefix):]) for p in parts
+                if p.startswith(prefix) and p != prefix)
+    return sel if sel else False
+
+
 def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
-                 Tb: int):
+                 Tb: int, parts=_ALL_PARTS):
     P = spec.num_players
     x = spec.xdim
     u = spec.umax
@@ -86,38 +111,55 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
         src/single_player_car_6d.cpp:58-67): jacfwd's tangent-basis
         slicing also does not lower on Mosaic."""
         us = _split_u(us_flat)
-        entries = dyn_base.linearize_entries(dyn, dt, u, t, xv, us)
-        lamS = tuple(lamS_row[sc_off[i]:sc_off[i + 1]] for i in range(P))
-        lamC = tuple(lamC_row[cc_off[i]:cc_off[i + 1]] for i in range(P))
-        entries.update(pcost.stage_quadraticize_entries(
-            player_costs, spec, lamS, lamC, mu, t, xv, us, gate_p))
+        entries = {}
+        if "lin" in parts:
+            entries.update(
+                dyn_base.linearize_entries(dyn, dt, u, t, xv, us))
+        inc_state = _players_of(parts, "qstate")
+        inc_ctrl = _players_of(parts, "qctrl")
+        if inc_state is not False or inc_ctrl is not False:
+            lamS = tuple(
+                lamS_row[sc_off[i]:sc_off[i + 1]] for i in range(P))
+            lamC = tuple(
+                lamC_row[cc_off[i]:cc_off[i + 1]] for i in range(P))
+            entries.update(pcost.stage_quadraticize_entries(
+                player_costs, spec, lamS, lamC, mu, t, xv, us, gate_p,
+                include_state=inc_state, include_ctrl=inc_ctrl))
         like = xv[0]
         return {k: jnp.zeros_like(like) + v for k, v in entries.items()}
 
     def kernel(xs_ref, us_ref, lamS_ref, lamC_ref, mu_ref, t0_ref,
-               gate_ref, ks_ref,
-               A_ref, Bf_ref, Qf_ref, lf_ref, Rf_ref, rf_ref):
+               gate_ref, ks_ref, *out_refs):
+        # ENTRY-MAJOR inputs ([*entry dims, Tb, Bb]): every per-dim
+        # access inside the double-vmapped core (xv[j], us[af], ...) is
+        # then one contiguous (Tb, Bb) = (8, 128) tile. Knot-major
+        # inputs made each such access a sublane-strided gather across 8
+        # knot subtiles — a relayout per use, which both bloated the
+        # Mosaic op count (30+ min compiles that died) and would have
+        # been slow. Same doctrine as the sweep kernel's state-major
+        # slabs (ops/pallas/sweep.py integ_cb note).
         t = t0_ref[...][0][None, :] + ks_ref[...] * dt  # [Tb, B]
-        xs = xs_ref[...]              # [Tb, x, B]
-        us = us_ref[...]              # [Tb, Pu, B]
+        xs = xs_ref[...]              # [x, Tb, B]
+        us = us_ref[...]              # [Pu, Tb, B]
         lamS = (lamS_ref[...] if nS > 0
-                else jnp.zeros((Tb, 0, xs.shape[-1]), jnp.float32))
+                else jnp.zeros((0, Tb, xs.shape[-1]), jnp.float32))
         lamC = (lamC_ref[...] if nC > 0
-                else jnp.zeros((Tb, 0, xs.shape[-1]), jnp.float32))
+                else jnp.zeros((0, Tb, xs.shape[-1]), jnp.float32))
         mu = mu_ref[...][0]           # [B]
-        gate = gate_ref[...]          # [Tb, P, B]
+        gate = gate_ref[...]          # [P, Tb, B]
 
-        inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0, -1),
+        inner = jax.vmap(core, in_axes=(-1, -1, -1, -1, -1, 0, -1),
                          out_axes=-1)
-        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, None, 0),
+        outer = jax.vmap(inner, in_axes=(0, 1, 1, 1, 1, None, 1),
                          out_axes=0)
         vals = outer(t, xs, us, lamS, lamC, mu, gate)  # key -> [Tb, B]
 
         # Entry-major output refs ([*entry dims, Tb, Bb]): each store
         # below writes one FULL (Tb, Bb) = (8, 128) tile at a static
         # entry index — aligned whole-vreg stores, no relayouts.
-        refs = {"A": A_ref, "Bf": Bf_ref, "Q": Qf_ref, "l": lf_ref,
-                "R": Rf_ref, "r": rf_ref}
+        names = list(dict.fromkeys(
+            n for p in parts for n in _part_outs(p)))
+        refs = dict(zip(names, out_refs))
         for name, ref in refs.items():
             ref[...] = jnp.zeros(ref.shape, jnp.float32)
         for key in sorted(vals.keys()):
@@ -126,18 +168,20 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, nS: int, nC: int,
     return kernel
 
 
-def _pad_knots(arr, Np):
-    """Pad the leading knot axis to Np by replicating the last knot."""
-    N = arr.shape[0]
+def _pad_knots_em(arr, Np):
+    """Pad the second-to-last (knot) axis to Np by replicating the last
+    knot (entry-major layout: [*entry dims, N, B])."""
+    N = arr.shape[-2]
     if N == Np:
         return arr
-    return jnp.concatenate(
-        [arr, jnp.broadcast_to(arr[-1:], (Np - N,) + arr.shape[1:])])
+    last = jax.lax.slice_in_dim(arr, N - 1, N, axis=arr.ndim - 2)
+    reps = jnp.concatenate([last] * (Np - N), axis=arr.ndim - 2)
+    return jnp.concatenate([arr, reps], axis=arr.ndim - 2)
 
 
 def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
                     mu, gate, *, batch_block: int = 128,
-                    interpret: bool = False):
+                    interpret: bool = False, split=None):
     """Batch-minor fused stage kernel.
 
     Args (as produced by sweep._prep_common/_prep_al):
@@ -148,7 +192,33 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
     Returns the LQ kernel's operand dict:
       {"A" [N,x,x,B], "Bf" [N,x,Pu,B], "Qf" [N,P*x,x,B], "lf" [N,P*x,B],
        "Rf" [N,P*P*u,u,B], "rf" [N,P*P*u,B]}.
+
+    split: optional tuple of part-groups, each a tuple drawn from
+    {"lin", "qstate", "qctrl"}; every group becomes its OWN pallas_call
+    (default one fused call). Splitting bounds the per-kernel trace the
+    Mosaic compiler has to schedule — the fully fused kernel's compile
+    was OOM-killed on the v5e compile helper (tools/tpu_stage_check_r3).
     """
+    if split is None:
+        split = (_ALL_PARTS,)
+    out = {}
+    for parts in split:
+        part_out = _lin_quad_parts(
+            dyn, player_costs, spec, op_bm, lamS, lamC, mu, gate,
+            batch_block=batch_block, interpret=interpret,
+            parts=tuple(parts))
+        for k, v in part_out.items():
+            # Per-player splits (e.g. ("qstate0",), ("qstate1",)) each
+            # emit the full array with only their players' rows nonzero;
+            # summing merges the disjoint supports.
+            out[k] = out[k] + v if k in out else v
+    return out
+
+
+def _lin_quad_parts(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
+                    mu, gate, *, batch_block: int, interpret: bool,
+                    parts):
+    """One pallas_call computing the selected parts (see lin_quad_pallas)."""
     N = spec.num_time_steps
     P = spec.num_players
     x = spec.xdim
@@ -163,41 +233,46 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
     Np = -(-N // Tb) * Tb
     nblk = Np // Tb
 
-    xs = _pad_knots(op_bm["xs"], Np)
-    us = _pad_knots(op_bm["us"], Np)
-    gate_p = _pad_knots(gate, Np)
-    lamS_p = _pad_knots(lamS, Np) if nS > 0 else None
-    lamC_p = _pad_knots(lamC, Np) if nC > 0 else None
+    # Entry-major operands ([*entry dims, Np, B]): the knot-major
+    # containers are transposed once here at XLA level (lane axis stays
+    # minormost — a cheap major-dim relayout) so every in-kernel per-dim
+    # access is a whole (Tb, Bb) tile.
+    em_in = lambda a: jnp.moveaxis(a, 0, -2)
+    xs = _pad_knots_em(em_in(op_bm["xs"]), Np)
+    us = _pad_knots_em(em_in(op_bm["us"]), Np)
+    gate_p = _pad_knots_em(em_in(gate), Np)
+    lamS_p = _pad_knots_em(em_in(lamS), Np) if nS > 0 else None
+    lamC_p = _pad_knots_em(em_in(lamC), Np) if nC > 0 else None
     ks = jnp.broadcast_to(
         jnp.arange(Np, dtype=jnp.float32)[:, None], (Np, B))
 
     blk = lambda shape: pl.BlockSpec(
-        shape, lambda b, s: (s,) + (0,) * (len(shape) - 2) + (b,),
+        shape, lambda b, s: (0,) * (len(shape) - 2) + (s, b),
         memory_space=pltpu.VMEM)
     res = lambda shape: pl.BlockSpec(
         shape, lambda b, s: (0,) * (len(shape) - 1) + (b,),
         memory_space=pltpu.VMEM)
 
-    in_specs = [blk((Tb, x, Bb)), blk((Tb, Pu, Bb))]
+    in_specs = [blk((x, Tb, Bb)), blk((Pu, Tb, Bb))]
     operands = [xs, us]
     if nS > 0:
-        in_specs.append(blk((Tb, nS, Bb)))
+        in_specs.append(blk((nS, Tb, Bb)))
         operands.append(lamS_p)
     if nC > 0:
-        in_specs.append(blk((Tb, nC, Bb)))
+        in_specs.append(blk((nC, Tb, Bb)))
         operands.append(lamC_p)
-    in_specs += [res((1, Bb)), res((1, Bb)), blk((Tb, P, Bb)),
+    in_specs += [res((1, Bb)), res((1, Bb)), blk((P, Tb, Bb)),
                  blk((Tb, Bb))]
     operands += [mu, op_bm["t0"], gate_p, ks]
 
-    kern = _make_kernel(dyn, player_costs, spec, nS, nC, Tb)
+    kern = _make_kernel(dyn, player_costs, spec, nS, nC, Tb, parts=parts)
 
     def kernel(*refs):
         it = iter(refs)
         xs_r = next(it)
         us_r = next(it)
-        lamS_r = next(it) if nS > 0 else _ZeroLam(Tb, 0, Bb)
-        lamC_r = next(it) if nC > 0 else _ZeroLam(Tb, 0, Bb)
+        lamS_r = next(it) if nS > 0 else _ZeroLam(0, Tb, Bb)
+        lamC_r = next(it) if nC > 0 else _ZeroLam(0, Tb, Bb)
         mu_r = next(it)
         t0_r = next(it)
         gate_r = next(it)
@@ -211,18 +286,17 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
     em = lambda shape: pl.BlockSpec(
         shape, lambda b, s: (0,) * (len(shape) - 2) + (s, b),
         memory_space=pltpu.VMEM)
-    out_specs = [em((x, x, Tb, Bb)), em((x, Pu, Tb, Bb)),
-                 em((P, x, x, Tb, Bb)), em((P, x, Tb, Bb)),
-                 em((P, P, u, u, Tb, Bb)), em((P, P, u, Tb, Bb))]
+    _out_dims = {
+        "A": (x, x), "Bf": (x, Pu), "Q": (P, x, x), "l": (P, x),
+        "R": (P, P, u, u), "r": (P, P, u),
+    }
+    names = list(dict.fromkeys(n for p in parts for n in _part_outs(p)))
+    out_specs = [em(_out_dims[n] + (Tb, Bb)) for n in names]
     out_shape = [
-        jax.ShapeDtypeStruct((x, x, Np, B), jnp.float32),
-        jax.ShapeDtypeStruct((x, Pu, Np, B), jnp.float32),
-        jax.ShapeDtypeStruct((P, x, x, Np, B), jnp.float32),
-        jax.ShapeDtypeStruct((P, x, Np, B), jnp.float32),
-        jax.ShapeDtypeStruct((P, P, u, u, Np, B), jnp.float32),
-        jax.ShapeDtypeStruct((P, P, u, Np, B), jnp.float32),
+        jax.ShapeDtypeStruct(_out_dims[n] + (Np, B), jnp.float32)
+        for n in names
     ]
-    A, Bf, Q, l, R, r = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, nblk),
         in_specs=in_specs,
@@ -233,23 +307,30 @@ def lin_quad_pallas(dyn, player_costs, spec: GameSpec, op_bm, lamS, lamC,
         ),
         interpret=interpret,
     )(*operands)
+    outs = dict(zip(names, outs))
     # To the LQ kernel's knot-major operand layout OUTSIDE the kernel:
     # moveaxis pulls the knot axis in front (a major-dim transpose — the
     # lane axis stays minormost, so XLA relayouts without shuffling
     # lanes), then the entry-dim merges are relayout-free bitcasts.
     km = lambda a: jnp.moveaxis(a, -2, 0)[:N]
-    return {"A": km(A), "Bf": km(Bf),
-            "Qf": km(Q).reshape(N, P * x, x, B),
-            "lf": km(l).reshape(N, P * x, B),
-            "Rf": km(R).reshape(N, P * P * u, u, B),
-            "rf": km(r).reshape(N, P * P * u, B)}
+    post = {
+        "A": lambda a: km(a),
+        "Bf": lambda a: km(a),
+        "Q": lambda a: km(a).reshape(N, P * x, x, B),
+        "l": lambda a: km(a).reshape(N, P * x, B),
+        "R": lambda a: km(a).reshape(N, P * P * u, u, B),
+        "r": lambda a: km(a).reshape(N, P * P * u, B),
+    }
+    out_key = {"A": "A", "Bf": "Bf", "Q": "Qf", "l": "lf", "R": "Rf",
+               "r": "rf"}
+    return {out_key[n]: post[n](outs[n]) for n in names}
 
 
 class _ZeroLam:
-    """Stand-in ref for an absent multiplier stream: [...] -> [Tb,0,B]."""
+    """Stand-in ref for an absent multiplier stream: [...] -> [0,Tb,B]."""
 
-    def __init__(self, Tb, n, Bb):
-        self._shape = (Tb, n, Bb)
+    def __init__(self, n, Tb, Bb):
+        self._shape = (n, Tb, Bb)
 
     def __getitem__(self, _):
         return jnp.zeros(self._shape, jnp.float32)

@@ -1,9 +1,13 @@
-"""Compile + parity check of the fused stage kernel alone on real TPU.
+"""Compile + parity + timing check of the fused stage kernel on real TPU.
 
-Isolates ops/pallas/stage.py from the full trip program: compiles
-lin_quad_pallas on the flagship problem at one batch block and compares
-against the vmapped XLA linearize + quadraticize. Writes JSON lines to
-stdout; Mosaic errors print with full traceback.
+Bisects over kernel splits: the fully fused lin+quad kernel's Mosaic
+compile was repeatedly OOM-killed on the v5e compile helper, so each
+part ({lin, qstate, qctrl}) is compiled separately first (small traces,
+fast compiles), then pairwise/fused. For every config that compiles,
+records numeric parity vs the vmapped XLA linearize+quadraticize and a
+queued-reps timing. Appends JSON lines to tools/tpu_stage_check.txt.
+
+Run ALONE on the TPU (PYTHONPATH=/root/repo:$PYTHONPATH).
 """
 
 import json
@@ -16,6 +20,13 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+for _i in range(20):
+    try:
+        jax.devices()
+        break
+    except RuntimeError as _e:
+        print(f"init retry {_i}: {_e}", flush=True)
+        time.sleep(15)
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,13 +39,37 @@ from ilqgames_tpu.ops.pallas.stage import lin_quad_pallas
 from ilqgames_tpu.ops.pallas.sweep import _prep_al
 from ilqgames_tpu.solver.batched import _extreme_gate_b
 
+OUT = os.path.join(os.path.dirname(__file__), "tpu_stage_check.txt")
+
+
+def rec(**kw):
+    line = json.dumps(kw)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+SPLITS = {
+    "lin": (("lin",),),
+    "qctrl": (("qctrl",),),
+    "qstate": (("qstate",),),
+    "qstate0": (("qstate0",),),
+    "qstate1": (("qstate1",),),
+    "qstate2": (("qstate2",),),
+    "lin+qctrl|qstate": (("lin", "qctrl"), ("qstate",)),
+    "perplayer": (("lin", "qctrl"), ("qstate0",), ("qstate1",),
+                  ("qstate2",)),
+    "fused": (("lin", "qstate", "qctrl"),),
+}
+
 
 def main():
     problem = make_problem()
     spec = problem.spec
     dyn = problem.dynamics
     pcs = problem.player_costs
-    B = 128
+    B = int(os.environ.get("SC_BATCH", "128"))
+    reps = int(os.environ.get("SC_REPS", "10"))
     N = spec.num_time_steps
     P = spec.num_players
     Pu = P * spec.umax
@@ -54,43 +89,59 @@ def main():
     ek = jnp.zeros((B, P), jnp.int32)
     gate = _extreme_gate_b(pcs, spec, ek)
 
-    def run_pallas(op, al, gate):
-        op_bm = {
-            "xs": pad_batch(bm(op.xs), B),
-            "us": pad_batch(bm(op.us).reshape(N, Pu, -1), B),
-            "t0": pad_batch(bm(op.t0)[None], B),
-        }
-        lamS, lamC, mu_bm, gate_bm = _prep_al(spec, al, gate, B)
-        return lin_quad_pallas(dyn, pcs, spec, op_bm, lamS, lamC, mu_bm,
-                               gate_bm, batch_block=B)
-
-    t0 = time.time()
-    outs = jax.jit(run_pallas)(op, al, gate)
-    jax.block_until_ready(outs["A"])
-    print(json.dumps({"stage": "stage_kernel_compile_run",
-                      "s": round(time.time() - t0, 1)}), flush=True)
-
+    # XLA references, batch-minor (bm moves batch last).
     lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(op)
     quad = jax.vmap(
         lambda o, a, e: pcost.quadraticize(pcs, spec, o, a, e))(op, al, ek)
     x, u = spec.xdim, spec.umax
-
-    def mx(a, b):
-        return float(jnp.max(jnp.abs(a - b)))
-
-    # batch-minor refs: bm(t) moves batch last.
-    d = {
-        "dA": mx(outs["A"], bm(lin.A)),
-        "dBf": mx(outs["Bf"],
-                  bm(lin.Bs).transpose(0, 2, 1, 3, 4).reshape(N, x, Pu, -1)),
-        "dQ": mx(outs["Qf"], bm(quad.Q).reshape(N, P * x, x, -1)),
-        "dl": mx(outs["lf"], bm(quad.l).reshape(N, P * x, -1)),
-        "dR": mx(outs["Rf"], bm(quad.R).reshape(N, P * P * u, u, -1)),
-        "dr": mx(outs["rf"], bm(quad.r).reshape(N, P * P * u, -1)),
+    ref = {
+        "A": bm(lin.A),
+        "Bf": bm(lin.Bs).transpose(0, 2, 1, 3, 4).reshape(N, x, Pu, -1),
+        "Qf": bm(quad.Q).reshape(N, P * x, x, -1),
+        "lf": bm(quad.l).reshape(N, P * x, -1),
+        "Rf": bm(quad.R).reshape(N, P * P * u, u, -1),
+        "rf": bm(quad.r).reshape(N, P * P * u, -1),
     }
-    print(json.dumps({"stage": "parity", **{k: round(v, 6)
-                                            for k, v in d.items()}}),
-          flush=True)
+    jax.block_until_ready(ref["A"])
+
+    which = os.environ.get(
+        "SC_SPLITS", "lin,qctrl,qstate,lin+qctrl|qstate,fused").split(",")
+    for name in which:
+        split = SPLITS[name.strip()]
+
+        def run_pallas(op, al, gate):
+            op_bm = {
+                "xs": pad_batch(bm(op.xs), B),
+                "us": pad_batch(bm(op.us).reshape(N, Pu, -1), B),
+                "t0": pad_batch(bm(op.t0)[None], B),
+            }
+            lamS, lamC, mu_bm, gate_bm = _prep_al(spec, al, gate, B)
+            return lin_quad_pallas(dyn, pcs, spec, op_bm, lamS, lamC,
+                                   mu_bm, gate_bm, batch_block=B,
+                                   split=split)
+
+        try:
+            t0 = time.time()
+            fn = jax.jit(run_pallas)
+            outs = fn(op, al, gate)
+            jax.block_until_ready(list(outs.values()))
+            compile_s = time.time() - t0
+        except Exception as e:
+            rec(stage=f"stage_kernel_{name}", status="compile_failed",
+                detail=str(e)[:300])
+            continue
+
+        d = {k: round(float(jnp.max(jnp.abs(outs[k] - ref[k]))), 6)
+             for k in outs}
+        t0 = time.time()
+        for _ in range(reps):
+            outs = fn(op, al, gate)
+        jax.block_until_ready(list(outs.values()))
+        run_s = (time.time() - t0) / reps
+        rec(stage=f"stage_kernel_{name}", status="ok",
+            compile_s=round(compile_s, 1), run_s=round(run_s, 4),
+            B=B, **{f"d{k}": v for k, v in d.items()})
+    rec(stage="stage_check_done")
 
 
 if __name__ == "__main__":
