@@ -141,7 +141,7 @@ def _extreme_gate_b(player_costs, spec, extreme_ks):
 
 def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                            *, active=None, batch_block=128,
-                           interpret=False, stage1_cands=8,
+                           interpret=False, stage1_cands=None,
                            return_stats=False, fuse_stages=False):
     """ONE iLQ iteration for a whole batch (the batch-level twin of
     ilq.iteration_step; reference src/ilq_solver.cpp:123-165).
@@ -155,6 +155,14 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     and keep all inter-kernel arrays batch-minor — no quad carry, no
     layout transposes between stages. Semantics are identical (see
     _empty_quad's rationale).
+
+    `stage1_cands` (default params.linesearch_chunk): candidates per
+    sweep-kernel call in the adaptive ladder. Results are identical for
+    ANY width (the selected candidate is the first Armijo pass, and
+    merits are chunk-invariant — tools/sweep_width.txt dref=0.0); width
+    is a pure perf knob. Measured on v5e at B=256: one C=1 chunk costs
+    4.6 ms vs 30 ms for C=8, so narrow chunks win whenever the deepest
+    active lane needs only a few candidates (tools/sweep_width.txt).
     """
     if params.open_loop:
         raise ValueError("Pallas batched path supports feedback LQ only")
@@ -203,6 +211,20 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             )
             return jnp.moveaxis(m[:, :Bt], -1, 0)  # [Bt, C]
 
+        def sweep_compact_fn(sel, scal_c):
+            # Gather the selected lanes (batch-minor: last axis) into one
+            # lane block and sweep only that block.
+            Bc = sel.shape[0]
+            g = lambda a: None if a is None else jnp.take(a, sel, axis=-1)
+            m = sweep_merits_bm(
+                dyn, player_costs, spec, g(x0m),
+                {k: g(v) for k, v in op_bm.items()},
+                {k: g(v) for k, v in st_bm.items()},
+                scal_c, g(lamS), g(lamC), g(mu_bm), g(gate_bm),
+                batch_block=Bc, interpret=interpret,
+            )
+            return jnp.moveaxis(m, -1, 0)  # [Bc, CD]
+
         def reroll_fn(scal_lane):
             scal_bm = pad_batch(bm(scal_lane)[None], Bb)
             xs_r, us_r = rollout_bm(
@@ -242,6 +264,18 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                 batch_block=batch_block, interpret=interpret,
             )
 
+        def sweep_compact_fn(sel, scal_c):
+            # Gather the selected lanes (batch-major: leading axis) into
+            # one lane block and sweep only that block.
+            Bc = sel.shape[0]
+            g = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.take(a, sel, axis=0), t)
+            return sweep_merits_pallas(
+                dyn, player_costs, spec, x0[sel], g(last_op),
+                g(lq_strategy), scal_c, g(al_state), gate[sel],
+                batch_block=Bc, interpret=interpret,
+            )
+
         def reroll_fn(scal_lane):
             return rollout_pallas(
                 dyn, spec, x0, last_op, lq_strategy, scal=scal_lane,
@@ -269,33 +303,43 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             iteration=c.iteration + 1,
         )
 
+    if stage1_cands is None:
+        stage1_cands = params.linesearch_chunk
     n_cand = params.max_backtracking_steps
     scalings = params.initial_alpha_scaling * (
         params.geometric_alpha_scaling
         ** jnp.arange(n_cand, dtype=jnp.float32)
     )
 
-    # ADAPTIVE chunked all-candidates linesearch. Selection is the same
+    # ADAPTIVE two-phase linesearch ladder. Selection is the same
     # first-Armijo-pass rule as the reference's sequential backtracking
-    # (src/ilq_solver.cpp:325-343), evaluated in parallel: the geometric
-    # ladder is swept `stage1_cands` candidates at a time (merits
-    # computed in-kernel, no trajectory emission), and the loop stops as
-    # soon as every ACTIVE lane has an Armijo pass among the evaluated
-    # prefix — a lane's selected candidate is its FIRST pass, so later
-    # chunks can never change it, and lanes with no pass yet are exactly
-    # why the loop continues (decisions are identical to evaluating the
-    # whole ladder). Unevaluated merits stay +inf, which never passes
-    # Armijo. Hopeless lanes (reject everything) still force full
+    # (src/ilq_solver.cpp:325-343), evaluated in parallel; unevaluated
+    # merits stay +inf, which never passes Armijo, and a lane's selected
+    # candidate is its FIRST pass, so evaluating EXTRA candidates for
+    # any lane can never change its selection — every variant below is
+    # decision-identical to evaluating the whole ladder.
+    #
+    # Phase 1 sweeps the first `stage1_cands` candidates for the FULL
+    # batch (measured idx distribution: ~94% of accepting lanes take
+    # candidate 0 — tools/profile_trip3.txt selected_idx_hist). Phase 2
+    # then serves only the unhappy lanes: when they fit in one lane
+    # block they are GATHERED into a single compact block and the deep
+    # candidate windows are swept at 1-block cost instead of B/128
+    # blocks (the deep tail previously made every trip pay the full
+    # 5-chunk ladder across the whole batch — 130 of the 145 ms trip).
+    # Hopeless lanes (reject everything) still force full-depth
     # evaluation — the reference pays the same 100 sequential rollouts.
+    #
     # f32 ladder cap: candidates past `linesearch_eval_cap` are bitwise
     # identical to the last evaluated one (params.py rationale), so only
     # the first n_eval merits are computed; Armijo still sees every
     # candidate's own threshold below.
     cap = params.linesearch_eval_cap
     n_eval = min(n_cand, cap) if cap > 0 else n_cand
-    CH = min(stage1_cands, n_eval)
-    n_chunks = -(-n_eval // CH)
-    Cp = n_chunks * CH
+    C1 = min(stage1_cands, n_eval)
+    CD = min(params.linesearch_deep_chunk, n_eval)
+    n_deep = -(-max(n_eval - C1, 0) // CD)
+    Cp = C1 + n_deep * CD
     pad = Cp - n_eval
     scal_full = jnp.concatenate(
         [scalings[:n_eval],
@@ -308,28 +352,57 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             * expected_decrease[:, None]
         )
 
-    def sweep_chunk(i):
-        scal_i = jax.lax.dynamic_slice(scal_full, (i * CH,), (CH,))
-        return sweep_chunk_fn(scal_i)
-
-    def ladder_cond(state):
-        i, buf = state
-        ok_i = armijo(buf, scal_full)
-        unhappy = ~jnp.any(ok_i, axis=1)
+    def unhappy_of(buf):
+        u = ~jnp.any(armijo(buf, scal_full), axis=1)
         if active is not None:
-            unhappy = unhappy & active
-        return (i == 0) | ((i < n_chunks) & jnp.any(unhappy))
+            u = u & active
+        return u
 
-    def ladder_body(state):
-        i, buf = state
-        m = sweep_chunk(i)
-        buf = jax.lax.dynamic_update_slice(buf, m, (0, i * CH))
-        return i + 1, buf
+    # Phase 1: first chunk, full batch (always evaluated — matches the
+    # reference, which always rolls out the first candidate).
+    buf = jnp.full((Bt, Cp), jnp.inf, jnp.float32)
+    m1 = sweep_chunk_fn(scal_full[:C1])
+    buf = jax.lax.dynamic_update_slice(buf, m1, (0, 0))
 
-    chunks_used, merits = jax.lax.while_loop(
-        ladder_cond, ladder_body,
-        (jnp.zeros((), jnp.int32), jnp.full((Bt, Cp), jnp.inf, jnp.float32)),
-    )
+    if n_deep > 0:
+        Bc = min(batch_block, Bt)
+
+        def deep_cond(state):
+            i, buf, rounds = state
+            return (i < Cp) & jnp.any(unhappy_of(buf))
+
+        def deep_body(state):
+            i, buf, rounds = state
+            u = unhappy_of(buf)
+            count = jnp.sum(u.astype(jnp.int32))
+            scal_i = jax.lax.dynamic_slice(scal_full, (i,), (CD,))
+
+            def compact(buf):
+                # Stable unhappy-first order; first Bc entries cover all
+                # unhappy lanes when count <= Bc. Extra (happy) lanes in
+                # the tail get real merits for candidates PAST their
+                # first pass — selection-invariant (see header note).
+                sel = jnp.argsort(~u)[:Bc]
+                m_c = sweep_compact_fn(sel, scal_i)      # [Bc, CD]
+                rows = jax.lax.dynamic_update_slice(
+                    buf[sel], m_c, (0, i))
+                return buf.at[sel].set(rows)
+
+            def full(buf):
+                m = sweep_chunk_fn(scal_i)
+                return jax.lax.dynamic_update_slice(buf, m, (0, i))
+
+            buf = jax.lax.cond(count <= Bc, compact, full, buf)
+            return i + CD, buf, rounds + 1
+
+        _, buf, deep_rounds = jax.lax.while_loop(
+            deep_cond, deep_body,
+            (jnp.asarray(C1, jnp.int32), buf, jnp.zeros((), jnp.int32)),
+        )
+        chunks_used = 1 + deep_rounds
+    else:
+        chunks_used = jnp.ones((), jnp.int32)
+    merits = buf
 
     # Extend the evaluated merits across the full ladder (constant past
     # n_eval — see the cap rationale) and apply Armijo with every

@@ -50,8 +50,20 @@ class SolverParams:
     # Parallel-linesearch tranche width (TPU-native knob; no reference
     # analogue). Candidate stepsizes are merit-evaluated `chunk` at a time;
     # iterations that accept in the first tranche — the typical case — do
-    # `chunk` rollouts of work instead of max_backtracking_steps.
-    linesearch_chunk: int = 8
+    # `chunk` rollouts of work instead of max_backtracking_steps. In the
+    # batched machine this is the PHASE-1 (full-batch) chunk width; the
+    # measured idx distribution (~94% of accepting lanes take candidate
+    # 0, tools/profile_trip3.txt) plus the compact deep ladder make a
+    # narrow phase 1 optimal. Sweep-kernel cost is ~linear in width
+    # with a small fixed term (tools/sweep_width.txt).
+    linesearch_chunk: int = 2
+
+    # Deep-window width of the batched machine's PHASE-2 compact ladder
+    # (lanes still unhappy after phase 1 are gathered into one lane
+    # block and swept `linesearch_deep_chunk` candidates per round).
+    # Chunking never changes decisions (merits are chunk-invariant and
+    # selection is first-pass).
+    linesearch_deep_chunk: int = 8
 
     # f32 ladder cap (TPU-native knob; no reference analogue). The
     # backtracking ladder alpha_k = alpha0 * s^k collapses numerically:

@@ -72,13 +72,17 @@ stats_j = jax.jit(lambda x0_b, fc: batched.iteration_step_batched(
 adv5 = steps_fn(params, 5)
 fcs = fc
 depths = []
+idx_hist = np.zeros(16, np.int64)
 for k in range(6):
     _, st = stats_j(x0, fcs)
     depths.append(int(st["chunks_used"]))
+    idx = np.asarray(st["idx"])[np.asarray(st["passed"])]
+    idx_hist += np.bincount(np.minimum(idx, 15), minlength=16)
     fcs = adv5(x0, fcs)
 fc30 = fcs
 jax.block_until_ready(fc30.done)
 rec(stage="ladder_depths_trips_0_5_10_15_20_25", depths=depths)
+rec(stage="selected_idx_hist_capped15", hist=idx_hist.tolist())
 rec(stage="advanced30", done=int(jnp.sum(fc30.done)),
     inner=float(jnp.mean(fc30.inner_iters)),
     nan_lanes=int(jnp.sum(jnp.isnan(fc30.c.last_merit))),
@@ -157,5 +161,15 @@ for _ in range(3):
     t0 = time.perf_counter(); r = f25(x0, fc30); jax.block_until_ready(r.done)
     best25 = min(best25, time.perf_counter() - t0)
 rec(stage="iterstep_staged8", per_trip_ms=round((best25-best5)/20*1e3, 1))
+
+# Chunk-width sweep of the FULL trip (sweep_width.txt showed one C=1
+# chunk costs 4.6 ms vs 30 ms at C=8; whether narrow wins end-to-end
+# depends on the ladder-depth distribution above).
+import os
+widths = [int(w) for w in
+          os.environ.get("PT_WIDTHS", "1,2,4").split(",")]
+for w in widths:
+    pw = dataclasses.replace(params, linesearch_chunk=w)
+    per_trip_ms(pw, f"trip_full_chunk{w}")
 
 rec(stage="done")
