@@ -188,6 +188,78 @@ def stage_gradients_core(player_costs, spec: GameSpec, lam_state_k,
     return jnp.stack(ls), jnp.stack(rs)
 
 
+def stage_gradient_sq_core(player_costs, spec: GameSpec, lam_state_k,
+                           lam_ctrl_k, mu, t, x, us):
+    """Per-player SQUARED-gradient sums (state_sq [P], ctrl_sq [P]) —
+    the merit increments (src/ilq_solver.cpp:400-435), computed from
+    sparse pairs WITHOUT assembling dense gradient vectors. The dense
+    [xd]-stacks of stage_gradients_core existed only to be squared and
+    summed inside the sweep kernel — pure vreg-copy overhead there
+    (most state dims carry no gradient). Per-dim accumulation order
+    matches stage_gradients_core; dims are squared and summed in
+    ascending order. Falls back to the dense path per player when a
+    cost provides no sparse gradient."""
+    xd = spec.xdim
+    um = spec.umax
+
+    from ilqgames_tpu.costs.base import assemble_vector
+
+    def sq_of(pairs, dense, d, like):
+        if dense is not None:
+            vec = assemble_vector(d, pairs, like) + dense
+            return jnp.sum(vec * vec)
+        acc = {}
+        for i_, v in pairs:
+            acc[i_] = acc[i_] + v if i_ in acc else v
+        s = jnp.zeros_like(like)
+        for i_ in sorted(acc):
+            s = s + acc[i_] * acc[i_]
+        return s
+
+    state_sqs = []
+    ctrl_sqs = []
+    for i, pc in enumerate(player_costs):
+        pairs = []
+        dense = None
+        for c in pc.state_costs:
+            pp = c.gradient_pairs(t, x)
+            if pp is not None:
+                pairs.extend(pp)
+            else:
+                g = c.gradient(t, x)
+                dense = g if dense is None else dense + g
+        for ci, con in enumerate(pc.state_constraints):
+            pp = con.gradient_al_pairs(t, x, lam_state_k[i][ci], mu)
+            if pp is not None:
+                pairs.extend(pp)
+            else:
+                g = con.gradient_al(t, x, lam_state_k[i][ci], mu)
+                dense = g if dense is None else dense + g
+        state_sqs.append(sq_of(pairs, dense, xd, x[0]))
+
+        upairs = []
+        udense = None
+        for jj, c in pc.control_costs:
+            if jj == i:
+                pp = c.gradient_pairs(t, us[i])
+                if pp is not None:
+                    upairs.extend(pp)
+                else:
+                    g = c.gradient(t, us[i])
+                    udense = g if udense is None else udense + g
+        for ci, (jj, con) in enumerate(pc.control_constraints):
+            if jj == i:
+                pp = con.gradient_al_pairs(t, us[i], lam_ctrl_k[i][ci], mu)
+                if pp is not None:
+                    upairs.extend(pp)
+                else:
+                    g = con.gradient_al(t, us[i], lam_ctrl_k[i][ci], mu)
+                    udense = g if udense is None else udense + g
+        ctrl_sqs.append(sq_of(upairs, udense, um, us[i, 0]))
+
+    return jnp.stack(state_sqs), jnp.stack(ctrl_sqs)
+
+
 def stage_quadraticize_core(player_costs, spec: GameSpec, lam_state_k,
                             lam_ctrl_k, mu, t, x, us, gate):
     """Per-knot quadraticization with direct multipliers: the per-knot

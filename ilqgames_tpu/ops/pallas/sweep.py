@@ -67,18 +67,21 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         cc_off = np.cumsum([0] + n_cc)
 
         def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
-            """Double-vmapped stage gradients over state-major
-            [x, C, B] layouts (candidates on axis 1): l [P, xd, C, B],
-            r [P, u, C, B]."""
+            """Double-vmapped per-player SQUARED-gradient sums over
+            state-major [x, C, B] layouts (candidates on axis 1):
+            (state_sq [P, C, B], ctrl_sq [P, C, B]). Squared sums come
+            straight from sparse gradient pairs — assembling dense
+            [P, xd] gradients in-kernel just to square them cost ~66
+            vreg copies per knot (tools/grads_floor3.txt)."""
             def core(tt, xx, uu, ls, lc, m):
-                return pcost.stage_gradients_core(
+                return pcost.stage_gradient_sq_core(
                     player_costs, spec, ls, lc, m, tt, xx, uu
                 )
 
             inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
                              out_axes=-1)
             outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
-                             out_axes=2)
+                             out_axes=1)
             return outer(t, x_cb, us_cb, lamS, lamC, mu)
 
     def integ_cb(t, x_cb, us_cb):
@@ -156,12 +159,14 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                     for _ in range(P)
                 )
                 mu = mu_ref[0]                # [B]
-                l_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
-                # l_cb [P, xd, C, B]; gate [P, B]
+                s_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
+                # s_cb/r_cb [P, C, B]; gate [P, B]. gate is 0/1, so
+                # gating the squared sum equals squaring the gated
+                # gradient ((l*g)^2 = l^2*g for g in {0,1}).
                 gate_k = gate_ref[pl.ds(k, 1)][0]
-                l_g = l_cb * gate_k[:, None, None, :]
-                state_term = jnp.sum(l_g * l_g, axis=(0, 1))  # [C, B]
-                ctrl_term = jnp.sum(r_cb * r_cb, axis=(0, 1))
+                state_term = jnp.sum(
+                    s_cb * gate_k[:, None, :], axis=0)  # [C, B]
+                ctrl_term = jnp.sum(r_cb, axis=0)
                 inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
                 merit_ref[...] = merit_ref[...] + inc
 
