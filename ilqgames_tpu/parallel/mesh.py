@@ -94,11 +94,10 @@ def make_batched_solver(
     x0_sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     if backend == "auto":
-        backend = (
-            "pallas"
-            if (jax.default_backend() != "cpu" and not params.open_loop)
-            else "xla"
-        )
+        # The batched Pallas machine serves feedback AND open-loop
+        # problems (open-loop uses the vmapped XLA LQ kernel inside it;
+        # solver/batched.py module note).
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     if backend == "pallas":
         from ilqgames_tpu.solver import batched

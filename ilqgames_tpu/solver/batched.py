@@ -21,8 +21,10 @@ tests/test_batched_pallas.py, which pins this machine against the vmapped
 fused machine trip-by-trip (decisions exactly equal, arrays at float
 tolerance) on CPU via interpret mode.
 
-Feedback-LQ only: the open-loop kernel has no Pallas port yet; open-loop
-problems (dubins_origin) use the XLA path.
+Open-loop problems (dubins_origin) run on this machine too: the LQ
+kernel switches to the vmapped XLA open-loop solver (strategies are
+affine with P=0) while the rollout / merit-sweep Pallas kernels are
+shared unchanged. Only `fuse_stages` is feedback-only.
 """
 
 from __future__ import annotations
@@ -77,17 +79,30 @@ def _quad_b(player_costs, spec, op, al, extreme_ks):
 
 
 def _resolve_fuse_stages(fuse_stages):
-    """None -> the production default (False), overridable without code
-    edits via ILQ_FUSE_STAGES=1. The fused stage kernel is parity-pinned
-    in interpret mode but hit a Mosaic `infer-vector-layout` shape-cast
-    gap on v5e (reshapes under the double vmap — since rewritten to
-    slice/stack + natural-rank outputs); it stays opt-in until a real-TPU
-    compile+parity run is recorded in tools/."""
+    """None -> the production default (True), overridable without code
+    edits via ILQ_FUSE_STAGES=0/1. The fused stage kernel compiles and
+    runs on real v5e with BITWISE parity vs the vmapped XLA stages
+    (tools/tpu_stage_check.txt: stage_kernel_fused ok, compile 116.6 s,
+    all deltas 0.0) after the round-3 rewrite: analytic Jacobians +
+    sparse quad/AL pairs (no in-kernel autodiff) and per-entry tile
+    stores (no output stacks). Trip time matches the XLA-stage mode at
+    B=128-256 and drops the 0.3 GB/trip quad carry, which pays at
+    larger batches. Individual lanes may diverge between the two modes
+    over many iterations (reduction-order ulps at Armijo knife edges —
+    the same class of difference as recompiling the reference with
+    different flags); tools/tpu_trip_check.txt records it."""
     if fuse_stages is None:
         import os
 
-        return os.environ.get("ILQ_FUSE_STAGES", "0") == "1"
+        return os.environ.get("ILQ_FUSE_STAGES", "1") == "1"
     return fuse_stages
+
+
+def _resolve_fuse_for(params, fuse_stages):
+    """fuse_stages resolution incl. the open-loop guard (the fused
+    stage kernel is feedback-only)."""
+    fs = _resolve_fuse_stages(fuse_stages)
+    return False if params.open_loop else fs
 
 
 def _empty_quad(Bt):
@@ -164,8 +179,11 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     4.6 ms vs 30 ms for C=8, so narrow chunks win whenever the deepest
     active lane needs only a few candidates (tools/sweep_width.txt).
     """
-    if params.open_loop:
-        raise ValueError("Pallas batched path supports feedback LQ only")
+    if params.open_loop and fuse_stages:
+        raise ValueError(
+            "fuse_stages supports feedback LQ only; open-loop problems "
+            "use the XLA LQ kernel inside the batched machine "
+            "(fuse_stages=False)")
     Bt = x0.shape[0]
     Bb = batch_block
     N = spec.num_time_steps
@@ -247,11 +265,22 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         quad_of = lambda op: _empty_quad(Bt)
     else:
         lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
-        lqsol = solve_lq_feedback_pallas(
-            spec, lin, c.quad, x0 - c.op.xs[:, 0],
-            adaptive_regularization=params.adaptive_regularization,
-            batch_block=batch_block, interpret=interpret,
-        )
+        if params.open_loop:
+            # Open-loop Nash (reference src/lq_open_loop_solver.cpp):
+            # the XLA kernel, vmapped — strategies come back as affine
+            # laws with P=0, so every downstream kernel (rollout, merit
+            # sweep) is shared with the feedback path unchanged.
+            from ilqgames_tpu.solver.lq_open_loop import solve_lq_open_loop
+
+            lqsol = jax.vmap(
+                lambda l, q, d: solve_lq_open_loop(spec, l, q, d)
+            )(lin, c.quad, x0 - c.op.xs[:, 0])
+        else:
+            lqsol = solve_lq_feedback_pallas(
+                spec, lin, c.quad, x0 - c.op.xs[:, 0],
+                adaptive_regularization=params.adaptive_regularization,
+                batch_block=batch_block, interpret=interpret,
+            )
         expected_decrease = jax.vmap(
             lambda q, a, d: ilq._expected_decrease(spec, q, a, d)
         )(c.quad, lqsol.strategy.alphas, lqsol.delta_xs)
@@ -729,7 +758,7 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
     docs/scaling.md). The global batch must divide mesh size *
     batch_block... or rather mesh size; each shard pads to batch_block
     lanes internally."""
-    fuse_stages = _resolve_fuse_stages(fuse_stages)
+    fuse_stages = _resolve_fuse_for(params, fuse_stages)
     if warm_op is None:
         warm_op = OperatingPoint.zeros(spec)
     if warm_strategy is None:
@@ -763,7 +792,7 @@ def make_host_batched_warm_solver(dyn, player_costs, spec, params,
     horizon replanning path (runtime/receding_horizon.py simulate_batched
     backend='pallas')."""
 
-    fuse_stages = _resolve_fuse_stages(fuse_stages)
+    fuse_stages = _resolve_fuse_for(params, fuse_stages)
 
     def init(x0_b, wop_b, wst_b, al_b):
         return _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,

@@ -54,9 +54,10 @@ class SolverParams:
     # batched machine this is the PHASE-1 (full-batch) chunk width; the
     # measured idx distribution (~94% of accepting lanes take candidate
     # 0, tools/profile_trip3.txt) plus the compact deep ladder make a
-    # narrow phase 1 optimal. Sweep-kernel cost is ~linear in width
-    # with a small fixed term (tools/sweep_width.txt).
-    linesearch_chunk: int = 2
+    # narrow phase 1 optimal (measured trip: width 1 = 82.5 ms,
+    # 2 = 85.6, 4 = 92.6 at B=256). Sweep-kernel cost is ~linear in
+    # width with a small fixed term (tools/sweep_width.txt).
+    linesearch_chunk: int = 1
 
     # Deep-window width of the batched machine's PHASE-2 compact ladder
     # (lanes still unhappy after phase 1 are gathered into one lane

@@ -233,3 +233,45 @@ def test_fused_stage_extremal_problem():
     np.testing.assert_allclose(rf.total_costs, rx.total_costs,
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(rf.op.xs, rx.op.xs, rtol=1e-6, atol=1e-6)
+
+
+def test_open_loop_batched_parity():
+    """Open-loop problems on the batched machine (vmapped XLA LQ kernel
+    inside the Pallas rollout/sweep machinery) vs the vmapped fused
+    machine — dubins_origin, the reference's open-loop example."""
+    from ilqgames_tpu.examples.dubins_origin import make_problem
+
+    prob = make_problem(num_time_steps=10)
+    params = SolverParams(
+        max_solver_iters=8,
+        max_backtracking_steps=10,
+        initial_alpha_scaling=0.5,
+        convergence_tolerance=1.0,
+        expected_decrease_fraction=0.001,
+        open_loop=True,
+    )
+    rng = np.random.RandomState(5)
+    Bt = 3
+    x0b = jnp.asarray(
+        np.tile(np.asarray(prob.x0)[None], (Bt, 1))
+        + 0.05 * rng.randn(Bt, prob.spec.xdim).astype(np.float32)
+    )
+    run_ref = fused.make_host_batched_solver(
+        prob.dynamics, prob.player_costs, prob.spec, params,
+        trips_per_call=8,
+    )
+    run_b = batched.make_host_batched_solver(
+        prob.dynamics, prob.player_costs, prob.spec, params,
+        trips_per_call=8, batch_block=3, interpret=True,
+    )
+    res_ref = run_ref(x0b)
+    res_b = run_b(x0b)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.converged), np.asarray(res_ref.converged))
+    np.testing.assert_array_equal(
+        np.asarray(res_b.cumulative_iterations),
+        np.asarray(res_ref.cumulative_iterations))
+    np.testing.assert_allclose(res_b.op.xs, res_ref.op.xs,
+                               rtol=1e-5, atol=1e-5)
+    # Open-loop strategies must come back with P == 0.
+    assert float(jnp.max(jnp.abs(res_b.strategy.Ps))) == 0.0
