@@ -394,7 +394,18 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     buf = jax.lax.dynamic_update_slice(buf, m1, (0, 0))
 
     if n_deep > 0:
-        Bc = min(batch_block, Bt)
+        # Tiered compact capacities: gather the unhappy lanes into the
+        # smallest lane-block multiple that holds them (cost of a deep
+        # round then scales with the unhappy COUNT, not the batch).
+        # A single 128-lane tier fell off a cliff at B=1024: the sick +
+        # deep lanes (~14% of active) overflowed it and every deep
+        # round fell back to full-batch sweeps (trip 551 ms vs 157 with
+        # the tail ablated — tools/profile_trip3.txt at PT_BATCH=1024).
+        tiers = []
+        t = min(batch_block, Bt)
+        while t < Bt:
+            tiers.append(t)
+            t *= 2
 
         def deep_cond(state):
             i, buf, rounds = state
@@ -406,22 +417,32 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             count = jnp.sum(u.astype(jnp.int32))
             scal_i = jax.lax.dynamic_slice(scal_full, (i,), (CD,))
 
-            def compact(buf):
-                # Stable unhappy-first order; first Bc entries cover all
-                # unhappy lanes when count <= Bc. Extra (happy) lanes in
-                # the tail get real merits for candidates PAST their
-                # first pass — selection-invariant (see header note).
-                sel = jnp.argsort(~u)[:Bc]
-                m_c = sweep_compact_fn(sel, scal_i)      # [Bc, CD]
-                rows = jax.lax.dynamic_update_slice(
-                    buf[sel], m_c, (0, i))
-                return buf.at[sel].set(rows)
+            def make_compact(Bc):
+                def compact(buf):
+                    # Stable unhappy-first order; the first Bc entries
+                    # cover all unhappy lanes when count <= Bc. Extra
+                    # (happy) lanes in the tail get real merits for
+                    # candidates PAST their first pass —
+                    # selection-invariant (see header note).
+                    sel = jnp.argsort(~u)[:Bc]
+                    m_c = sweep_compact_fn(sel, scal_i)  # [Bc, CD]
+                    rows = jax.lax.dynamic_update_slice(
+                        buf[sel], m_c, (0, i))
+                    return buf.at[sel].set(rows)
+
+                return compact
 
             def full(buf):
                 m = sweep_chunk_fn(scal_i)
                 return jax.lax.dynamic_update_slice(buf, m, (0, i))
 
-            buf = jax.lax.cond(count <= Bc, compact, full, buf)
+            if tiers:
+                branches = [make_compact(Bc) for Bc in tiers] + [full]
+                tier_idx = sum(
+                    (count > Bc).astype(jnp.int32) for Bc in tiers)
+                buf = jax.lax.switch(tier_idx, branches, buf)
+            else:
+                buf = full(buf)
             return i + CD, buf, rounds + 1
 
         _, buf, deep_rounds = jax.lax.while_loop(

@@ -275,3 +275,31 @@ def test_open_loop_batched_parity():
                                rtol=1e-5, atol=1e-5)
     # Open-loop strategies must come back with P == 0.
     assert float(jnp.max(jnp.abs(res_b.strategy.Ps))) == 0.0
+
+
+def test_tiered_compact_ladder_parity(setup):
+    """Multiple compact tiers (batch_block=2, Bt=8 -> tiers [2, 4]):
+    the tier gathers must not change any decision vs the reference
+    machine."""
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+    Bt = 8
+    rng = np.random.RandomState(11)
+    x0w = jnp.asarray(
+        np.tile(np.asarray(x0b[0])[None], (Bt, 1))
+        + 0.1 * rng.randn(Bt, spec.xdim).astype(np.float32))
+    run_ref = fused.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10)
+    run_b = batched.make_host_batched_solver(
+        dyn, costs, spec, params, trips_per_call=10, batch_block=2,
+        interpret=True, fuse_stages=False,
+    )
+    res_ref = run_ref(x0w)
+    res_b = run_b(x0w)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.converged), np.asarray(res_ref.converged))
+    np.testing.assert_array_equal(
+        np.asarray(res_b.cumulative_iterations),
+        np.asarray(res_ref.cumulative_iterations))
+    np.testing.assert_allclose(res_b.op.xs, res_ref.op.xs,
+                               rtol=5e-3, atol=5e-3)

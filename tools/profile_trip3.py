@@ -34,7 +34,8 @@ params = SolverParams(
     max_solver_iters=100, unconstrained_solver_max_iters=10,
     max_backtracking_steps=100, initial_alpha_scaling=0.1,
     convergence_tolerance=1.0, expected_decrease_fraction=0.001)
-B = 256
+import os as _os
+B = int(_os.environ.get("PT_BATCH", "256"))
 rng = np.random.RandomState(0)
 x0 = np.tile(np.asarray(p.x0)[None], (B, 1))
 x0 += 0.1 * rng.randn(*x0.shape).astype(np.float32)
@@ -167,7 +168,7 @@ rec(stage="iterstep_staged8", per_trip_ms=round((best25-best5)/20*1e3, 1))
 # depends on the ladder-depth distribution above).
 import os
 widths = [int(w) for w in
-          os.environ.get("PT_WIDTHS", "1,2,4").split(",")]
+          os.environ.get("PT_WIDTHS", "1,2,4").split(",") if w]
 for w in widths:
     pw = dataclasses.replace(params, linesearch_chunk=w)
     per_trip_ms(pw, f"trip_full_chunk{w}")
