@@ -339,20 +339,26 @@ def sweep_merits_bm(
     x0m: jnp.ndarray,         # [x, B]
     op_bm: dict,
     st_bm: dict,
-    scalings: jnp.ndarray,    # [C]
+    scalings: jnp.ndarray,    # [C] shared, or [C, B] PER-LANE candidates
     lamS, lamC, mu, gate,     # batch-minor AL operands (_prep_al form)
     batch_block: int = 128,
     interpret: bool = False,
     cand_chunk: int = 8,
 ) -> jnp.ndarray:
     """Raw batch-minor merit sweep: [C, B] (0.5 * gated squared stage
-    gradients; see sweep_merits_pallas)."""
+    gradients; see sweep_merits_pallas). A 2-D `scalings` gives every
+    lane its OWN candidate stepsizes (the compact deep ladder's
+    per-lane windows); the kernel consumes [C, B] either way."""
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
     Cc = _time_block(C, cap=cand_chunk)
     parts = []
     for c0 in range(0, C, Cc):
-        scal_cb = jnp.broadcast_to(scalings[c0:c0 + Cc, None], (Cc, B))
+        if scalings.ndim == 2:
+            scal_cb = scalings[c0:c0 + Cc]
+        else:
+            scal_cb = jnp.broadcast_to(
+                scalings[c0:c0 + Cc, None], (Cc, B))
         (merits,) = _run(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
             lamC, mu, gate, compute_merit=True, emit_traj=False,
@@ -428,18 +434,25 @@ def sweep_merits_pallas(
 
     Candidates are processed in equal sublane-aligned chunks: one kernel
     shape -> ONE Mosaic compile, reused across chunks (a single very wide
-    kernel blows Mosaic compile time past 20 minutes)."""
+    kernel blows Mosaic compile time past 20 minutes).
+
+    A 2-D `scalings` ([Bt, C]) gives every lane its own candidates (the
+    compact deep ladder's per-lane windows)."""
     Bt = x0.shape[0]
     Bb = batch_block
     op, st, x0m = _prep_common(spec, x0, last_op, strategy, Bb)
     B = op["xs"].shape[-1]
-    C = scalings.shape[0]
+    C = scalings.shape[-1] if scalings.ndim == 2 else scalings.shape[0]
     lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
     Cc = _time_block(C, cap=cand_chunk)
     parts = []
     for c0 in range(0, C, Cc):
-        scal_cb = jnp.broadcast_to(scalings[c0:c0 + Cc, None], (Cc, B))
+        if scalings.ndim == 2:
+            scal_cb = pad_batch(bm(scalings[:, c0:c0 + Cc]), Bb)
+        else:
+            scal_cb = jnp.broadcast_to(
+                scalings[c0:c0 + Cc, None], (Cc, B))
         (merits,) = _run(
             dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC,
             mu, gate, compute_merit=True, emit_traj=False,

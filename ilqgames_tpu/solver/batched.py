@@ -229,16 +229,17 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             )
             return jnp.moveaxis(m[:, :Bt], -1, 0)  # [Bt, C]
 
-        def sweep_compact_fn(sel, scal_c):
+        def sweep_compact_fn(sel, scal_w):
             # Gather the selected lanes (batch-minor: last axis) into one
-            # lane block and sweep only that block.
+            # lane block and sweep only that block; scal_w [Bc, CD] gives
+            # each gathered lane its own candidate window.
             Bc = sel.shape[0]
             g = lambda a: None if a is None else jnp.take(a, sel, axis=-1)
             m = sweep_merits_bm(
                 dyn, player_costs, spec, g(x0m),
                 {k: g(v) for k, v in op_bm.items()},
                 {k: g(v) for k, v in st_bm.items()},
-                scal_c, g(lamS), g(lamC), g(mu_bm), g(gate_bm),
+                scal_w.T, g(lamS), g(lamC), g(mu_bm), g(gate_bm),
                 batch_block=Bc, interpret=interpret,
             )
             return jnp.moveaxis(m, -1, 0)  # [Bc, CD]
@@ -293,15 +294,16 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                 batch_block=batch_block, interpret=interpret,
             )
 
-        def sweep_compact_fn(sel, scal_c):
+        def sweep_compact_fn(sel, scal_w):
             # Gather the selected lanes (batch-major: leading axis) into
-            # one lane block and sweep only that block.
+            # one lane block and sweep only that block; scal_w [Bc, CD]
+            # gives each gathered lane its own candidate window.
             Bc = sel.shape[0]
             g = lambda t: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, sel, axis=0), t)
             return sweep_merits_pallas(
                 dyn, player_costs, spec, x0[sel], g(last_op),
-                g(lq_strategy), scal_c, g(al_state), gate[sel],
+                g(lq_strategy), scal_w, g(al_state), gate[sel],
                 batch_block=Bc, interpret=interpret,
             )
 
@@ -394,60 +396,49 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     buf = jax.lax.dynamic_update_slice(buf, m1, (0, 0))
 
     if n_deep > 0:
-        # Tiered compact capacities: gather the unhappy lanes into the
-        # smallest lane-block multiple that holds them (cost of a deep
-        # round then scales with the unhappy COUNT, not the batch).
-        # A single 128-lane tier fell off a cliff at B=1024: the sick +
-        # deep lanes (~14% of active) overflowed it and every deep
-        # round fell back to full-batch sweeps (trip 551 ms vs 157 with
-        # the tail ablated — tools/profile_trip3.txt at PT_BATCH=1024).
-        tiers = []
-        t = min(batch_block, Bt)
-        while t < Bt:
-            tiers.append(t)
-            t *= 2
+        # Compact deep ladder with PER-LANE candidate windows: every
+        # round gathers up to one lane block of unhappy lanes and
+        # evaluates, for each gathered lane, ITS OWN next CD candidates
+        # (the sweep kernel takes per-lane stepsizes). One kernel shape
+        # serves ANY unhappy count — round count is proportional to the
+        # total deep work, not to the batch:
+        #   * <=Bc unhappy lanes: one round per shared window (the
+        #     common case — they all sit at the same offset).
+        #   * >Bc unhappy lanes: extra rounds drain them block by
+        #     block, each lane advancing through its own windows.
+        # A tiered-gather lax.switch variant compiled >80 min (one
+        # sweep instantiation per tier); this keeps exactly one compact
+        # sweep shape. Tail (happy) lanes gathered as fill get extra
+        # candidates evaluated — selection-invariant (header note).
+        Bc = min(batch_block, Bt)
 
         def deep_cond(state):
-            i, buf, rounds = state
-            return (i < Cp) & jnp.any(unhappy_of(buf))
+            buf, nxt, rounds = state
+            u = unhappy_of(buf) & (nxt < Cp)
+            return jnp.any(u)
 
         def deep_body(state):
-            i, buf, rounds = state
-            u = unhappy_of(buf)
-            count = jnp.sum(u.astype(jnp.int32))
-            scal_i = jax.lax.dynamic_slice(scal_full, (i,), (CD,))
+            buf, nxt, rounds = state
+            u = unhappy_of(buf) & (nxt < Cp)
+            sel = jnp.argsort(~u)[:Bc]
+            offs = nxt[sel]                              # [Bc]
+            # Per-lane windows; dynamic_slice clamps at the ladder end,
+            # which re-evaluates (overwrites) identical tail merits.
+            scal_w = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(scal_full, (o,), (CD,))
+            )(offs)                                      # [Bc, CD]
+            m_c = sweep_compact_fn(sel, scal_w)          # [Bc, CD]
+            rows = jax.vmap(
+                lambda r, m, o: jax.lax.dynamic_update_slice(r, m, (o,))
+            )(buf[sel], m_c, offs)
+            buf = buf.at[sel].set(rows)
+            nxt = nxt.at[sel].add(CD)
+            return buf, nxt, rounds + 1
 
-            def make_compact(Bc):
-                def compact(buf):
-                    # Stable unhappy-first order; the first Bc entries
-                    # cover all unhappy lanes when count <= Bc. Extra
-                    # (happy) lanes in the tail get real merits for
-                    # candidates PAST their first pass —
-                    # selection-invariant (see header note).
-                    sel = jnp.argsort(~u)[:Bc]
-                    m_c = sweep_compact_fn(sel, scal_i)  # [Bc, CD]
-                    rows = jax.lax.dynamic_update_slice(
-                        buf[sel], m_c, (0, i))
-                    return buf.at[sel].set(rows)
-
-                return compact
-
-            def full(buf):
-                m = sweep_chunk_fn(scal_i)
-                return jax.lax.dynamic_update_slice(buf, m, (0, i))
-
-            if tiers:
-                branches = [make_compact(Bc) for Bc in tiers] + [full]
-                tier_idx = sum(
-                    (count > Bc).astype(jnp.int32) for Bc in tiers)
-                buf = jax.lax.switch(tier_idx, branches, buf)
-            else:
-                buf = full(buf)
-            return i + CD, buf, rounds + 1
-
-        _, buf, deep_rounds = jax.lax.while_loop(
+        buf, _, deep_rounds = jax.lax.while_loop(
             deep_cond, deep_body,
-            (jnp.asarray(C1, jnp.int32), buf, jnp.zeros((), jnp.int32)),
+            (buf, jnp.full((Bt,), C1, jnp.int32),
+             jnp.zeros((), jnp.int32)),
         )
         chunks_used = 1 + deep_rounds
     else:
