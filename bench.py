@@ -71,7 +71,9 @@ def main():
     )
 
     n_chips = jax.device_count()
-    batch = int(os.environ.get("BENCH_BATCH", "256")) * n_chips
+    # B=1024 is the measured-best batch on v5e (tools/tpu_bench_b1024d.log:
+    # 49.5 solves/s vs 42.8 at B=512, 31.3 at B=256).
+    batch = int(os.environ.get("BENCH_BATCH", "1024")) * n_chips
     rng = np.random.RandomState(0)
     x0 = np.tile(np.asarray(problem.x0)[None], (batch, 1))
     # Perturb initial positions/speeds so instances are genuinely distinct.
@@ -105,6 +107,24 @@ def main():
     # (baselines/measured.json: success=0, final_costs — its violation
     # machinery at src/augmented_lagrangian_solver.cpp:116-140).
     mv = np.asarray(res.max_violation)
+    costs = np.asarray(res.total_costs)              # [B, P]
+    # A lane is "diverged" when any player's final cost exceeds 1e6 —
+    # reference-class finals on this problem are ~3e3
+    # (baselines/measured.json), so the threshold separates the two
+    # populations by >2 orders of magnitude either way. Mean costs are
+    # meaningless under a heavy tail (one 1e29 lane dominates 1024), so
+    # the recorded statistics are medians/percentiles + the tail size;
+    # the reference's own per-instance finals on THIS x0 distribution
+    # are in baselines/measured.json ("perturbed_x0_batch").
+    worst = costs.max(axis=1)
+    diverged = worst > 1e6
+    dump = os.environ.get("BENCH_DUMP")
+    if dump:
+        np.savez(
+            dump, x0=np.asarray(x0), costs=costs, max_violation=mv,
+            converged=np.asarray(res.converged),
+            cumulative_iterations=np.asarray(res.cumulative_iterations),
+        )
     print(
         json.dumps(
             {
@@ -114,10 +134,13 @@ def main():
                 "vs_baseline": round(solves_per_sec_per_chip / baseline, 3),
                 "viol_p50": round(float(np.percentile(mv, 50)), 4),
                 "viol_p95": round(float(np.percentile(mv, 95)), 4),
-                "mean_costs": [
-                    round(float(c), 1)
-                    for c in np.asarray(res.total_costs).mean(axis=0)
+                "cost_p50": [
+                    round(float(c), 1) for c in np.percentile(costs, 50, axis=0)
                 ],
+                "cost_p95": [
+                    round(float(c), 1) for c in np.percentile(costs, 95, axis=0)
+                ],
+                "diverged_frac": round(float(diverged.mean()), 4),
             }
         )
     )

@@ -48,6 +48,73 @@ def _time_block(n: int, cap: int = 16) -> int:
     return 1
 
 
+# Scoped-VMEM budget for the sweep kernel's RESIDENT arrays (operand +
+# output + scratch blocks). The kernel requests vmem_limit_bytes=100 MiB
+# from Mosaic; the gap between this budget and that limit is headroom
+# for double-buffering of grid blocks and the compute temporaries of the
+# in-kernel rollout/merit math, which the static model below cannot see.
+# Calibration: the flagship sweep (N=100, x=16, Pu=6, C=8, Bb=128,
+# ~10 MiB resident) compiles and runs; a C=40 tiered-ladder variant with
+# multiple live instantiations OOM'd at 117.4 MiB on v5e
+# (tools/tpu_bench_b1024c.log). 40 MiB resident leaves >2x headroom.
+_VMEM_RESIDENT_BUDGET = 40 * 1024 * 1024
+
+
+def _resident_bytes(spec, *, C, Bb, nS, nC, compute_merit, emit_traj):
+    """Static VMEM-resident footprint (bytes) of one sweep-kernel block:
+    every operand/output BlockSpec in `_run` plus the state scratch.
+    Mirrors `_run`'s spec list — keep the two in sync."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    Pu = P * spec.umax
+    words = N * x + N * Pu + N * Pu * x + N * Pu  # xs, us, Ps, alphas
+    if compute_merit:
+        words += N * P + N * nS + N * nC + 1      # gate, lamS, lamC, mu
+        words += C                                # merit out
+    words += 1 + C + x                            # t0, scal, x0
+    if emit_traj:
+        words += N * C * x + N * C * Pu           # xs_out, us_out
+    words += x * C                                # xcur scratch
+    return words * Bb * 4
+
+
+def check_vmem(spec, *, C, Bb, nS=0, nC=0, compute_merit=True,
+               emit_traj=False):
+    """Fail fast (with an actionable message) when a sweep-kernel launch
+    would blow past the scoped-VMEM budget — the runtime alternative is
+    an opaque Mosaic allocation error after minutes of compilation
+    (observed: tools/tpu_bench_b1024c.log). Returns the footprint."""
+    got = _resident_bytes(spec, C=C, Bb=Bb, nS=nS, nC=nC,
+                          compute_merit=compute_merit,
+                          emit_traj=emit_traj)
+    if got > _VMEM_RESIDENT_BUDGET:
+        raise ValueError(
+            f"sweep kernel resident VMEM {got / 2**20:.1f} MiB exceeds "
+            f"the {_VMEM_RESIDENT_BUDGET / 2**20:.0f} MiB budget "
+            f"(N={spec.num_time_steps}, xdim={spec.xdim}, C={C}, "
+            f"batch_block={Bb}, emit_traj={emit_traj}). Reduce "
+            f"batch_block or the candidate chunk (cand_chunk / "
+            f"SolverParams.linesearch_deep_chunk)."
+        )
+    return got
+
+
+def _fit_cand_chunk(spec, *, C, Bb, nS, nC, cap, emit_traj=False):
+    """Largest divisor-of-C chunk width <= cap whose sweep launch fits
+    the VMEM budget (auto-split instead of the runtime Mosaic OOM).
+    Raises via check_vmem if even single-candidate launches don't fit."""
+    Cc = _time_block(C, cap=cap)
+    while Cc > 1:
+        if _resident_bytes(spec, C=Cc, Bb=Bb, nS=nS, nC=nC,
+                           compute_merit=True,
+                           emit_traj=emit_traj) <= _VMEM_RESIDENT_BUDGET:
+            return Cc
+        Cc = _time_block(C, cap=Cc - 1)
+    check_vmem(spec, C=1, Bb=Bb, nS=nS, nC=nC, emit_traj=emit_traj)
+    return 1
+
+
 def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                  nC: int, compute_merit: bool, emit_traj: bool, N: int):
     P = spec.num_players
@@ -204,6 +271,8 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
     nb = B // Bb
     nS = al_lamS.shape[1] if (compute_merit and al_lamS is not None) else 0
     nC = al_lamC.shape[1] if (compute_merit and al_lamC is not None) else 0
+    check_vmem(spec, C=C, Bb=Bb, nS=nS, nC=nC,
+               compute_merit=compute_merit, emit_traj=emit_traj)
 
     whole3 = lambda b: (0, 0, b)
     whole4 = lambda b: (0, 0, 0, b)
@@ -351,7 +420,10 @@ def sweep_merits_bm(
     per-lane windows); the kernel consumes [C, B] either way."""
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
-    Cc = _time_block(C, cap=cand_chunk)
+    Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block,
+                         nS=0 if lamS is None else lamS.shape[1],
+                         nC=0 if lamC is None else lamC.shape[1],
+                         cap=cand_chunk)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -445,7 +517,10 @@ def sweep_merits_pallas(
     C = scalings.shape[-1] if scalings.ndim == 2 else scalings.shape[0]
     lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
-    Cc = _time_block(C, cap=cand_chunk)
+    Cc = _fit_cand_chunk(spec, C=C, Bb=Bb,
+                         nS=0 if lamS is None else lamS.shape[1],
+                         nC=0 if lamC is None else lamC.shape[1],
+                         cap=cand_chunk)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -490,7 +565,8 @@ def rollout_candidates_pallas(
     op, st, x0m = _prep_common(spec, x0, last_op, strategy, batch_block)
     B = op["xs"].shape[-1]
 
-    Cc = _time_block(C, cap=cand_chunk)
+    Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block, nS=0, nC=0,
+                         cap=cand_chunk, emit_traj=True)
     xs_parts, us_parts = [], []
     for c0 in range(0, C, Cc):
         scal_cb = jnp.broadcast_to(
