@@ -44,13 +44,21 @@ import numpy as np
 
 
 def _reference_solves_per_sec() -> float:
-    """Measured single-core reference throughput if recorded, else the
-    hard 0.25 s/solve budget from the reference code."""
+    """Measured single-core reference throughput on the SAME x0
+    distribution this bench runs (baselines/measured.json
+    "perturbed_x0_batch": 256 instances of the identical RandomState(0)
+    draw through the unmodified reference binary — 0.671 s/solve mean;
+    the nominal-x0-only number, 0.447 s, understates the distribution's
+    cost). Falls back to the nominal measurement, then to the 0.25 s
+    hard budget from the reference code."""
     path = os.path.join(os.path.dirname(__file__), "baselines", "measured.json")
     try:
         with open(path) as f:
             data = json.load(f)
-        return 1.0 / float(data["three_player_intersection"]["mean_solve_s"])
+        try:
+            return float(data["perturbed_x0_batch"]["solves_per_sec_single_core"])
+        except Exception:
+            return 1.0 / float(data["three_player_intersection"]["mean_solve_s"])
     except Exception:
         return 4.0
 
