@@ -53,6 +53,63 @@ def _gershgorin_regularize(S: jnp.ndarray) -> jnp.ndarray:
     return S + jnp.diag(bump)
 
 
+def stage_gains_and_value(spec, eyeP, pad_diag, A, B, Q, l, R, r, Z, zeta,
+                          adaptive_regularization):
+    """ONE backward Riccati stage (Basar & Olsder Cor. 6.1; reference
+    src/lq_feedback_solver.cpp:110-214): given the value function
+    (Z, zeta) at knot k+1 and stage-k operands, solve the coupled gain
+    system and return (P_mat, alpha, Z_new, zeta_new) — the gains at k
+    and the value function at k. Shared by the sequential scan below and
+    the parallel-in-time sweeps (solver/lq_pint.py); op-for-op identical
+    to the pre-refactor scan body."""
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+
+    # R_ii / r_ii (own-control cost blocks).
+    R_diag = jnp.einsum("iiuv->iuv", R)  # [P,u,u]
+    r_diag = jnp.einsum("iiu->iu", r)  # [P,u]
+
+    # B_i^T Z_i : [P, u, x]
+    BiZ = jnp.einsum("ixu,ixy->iuy", B, Z)
+
+    # Coupling matrix S: blocks [i,j] = B_i^T Z_i B_j (+ R_ii on diag).
+    S_blocks = jnp.einsum("iuy,jyv->ijuv", BiZ, B)
+    S_blocks = S_blocks + eyeP[:, :, None, None] * R_diag[:, None]
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(P * u, P * u) + pad_diag
+
+    if adaptive_regularization:
+        S = _gershgorin_regularize(S)
+
+    # RHS: [P*u, x] for gains, [P*u] for affine terms.
+    Y_P = jnp.einsum("iuy,yz->iuz", BiZ, A).reshape(P * u, x)
+    Y_a = (jnp.einsum("ixu,ix->iu", B, zeta) + r_diag).reshape(P * u)
+    Y = jnp.concatenate([Y_P, Y_a[:, None]], axis=1)
+
+    X = jnp.linalg.solve(S, Y)
+    P_mat = X[:, :x].reshape(P, u, x)
+    alpha = X[:, x].reshape(P, u)
+
+    # Closed-loop transition and drift.
+    F = A - jnp.einsum("ixu,iuz->xz", B, P_mat)
+    beta = -jnp.einsum("ixu,iu->x", B, alpha)
+
+    # Value function updates (including cross-control R_ij terms; absent
+    # couplings are dense zeros so the sums are exact).
+    Ra = jnp.einsum("ijuv,jv->iju", R, alpha)
+    zeta_new = (
+        jnp.einsum("xz,ix->iz", F, zeta + jnp.einsum("ixy,y->ix", Z, beta))
+        + l
+        + jnp.einsum("jua,iju->ia", P_mat, Ra - r)
+    )
+    Z_new = (
+        jnp.einsum("xa,ixy,yb->iab", F, Z, F)
+        + Q
+        + jnp.einsum("jua,ijuv,jvb->iab", P_mat, R, P_mat)
+    )
+    return P_mat, alpha, Z_new, zeta_new
+
+
 def solve_lq_feedback(
     spec: GameSpec,
     lin: LinearDynamics,
@@ -88,49 +145,9 @@ def solve_lq_feedback(
     def backward_step(carry, stage):
         Z, zeta = carry  # [P,x,x], [P,x]
         A, B, Q, l, R, r = stage
-
-        # R_ii / r_ii (own-control cost blocks).
-        R_diag = jnp.einsum("iiuv->iuv", R)  # [P,u,u]
-        r_diag = jnp.einsum("iiu->iu", r)  # [P,u]
-
-        # B_i^T Z_i : [P, u, x]
-        BiZ = jnp.einsum("ixu,ixy->iuy", B, Z)
-
-        # Coupling matrix S: blocks [i,j] = B_i^T Z_i B_j (+ R_ii on diag).
-        S_blocks = jnp.einsum("iuy,jyv->ijuv", BiZ, B)
-        S_blocks = S_blocks + eyeP[:, :, None, None] * R_diag[:, None]
-        S = S_blocks.transpose(0, 2, 1, 3).reshape(P * u, P * u) + pad_diag
-
-        if adaptive_regularization:
-            S = _gershgorin_regularize(S)
-
-        # RHS: [P*u, x] for gains, [P*u] for affine terms.
-        Y_P = jnp.einsum("iuy,yz->iuz", BiZ, A).reshape(P * u, x)
-        Y_a = (jnp.einsum("ixu,ix->iu", B, zeta) + r_diag).reshape(P * u)
-        Y = jnp.concatenate([Y_P, Y_a[:, None]], axis=1)
-
-        X = jnp.linalg.solve(S, Y)
-        P_mat = X[:, :x].reshape(P, u, x)
-        alpha = X[:, x].reshape(P, u)
-
-        # Closed-loop transition and drift.
-        F = A - jnp.einsum("ixu,iuz->xz", B, P_mat)
-        beta = -jnp.einsum("ixu,iu->x", B, alpha)
-
-        # Value function updates (including cross-control R_ij terms; absent
-        # couplings are dense zeros so the sums are exact).
-        Ra = jnp.einsum("ijuv,jv->iju", R, alpha)
-        zeta_new = (
-            jnp.einsum("xz,ix->iz", F, zeta + jnp.einsum("ixy,y->ix", Z, beta))
-            + l
-            + jnp.einsum("jua,iju->ia", P_mat, Ra - r)
-        )
-        Z_new = (
-            jnp.einsum("xa,ixy,yb->iab", F, Z, F)
-            + Q
-            + jnp.einsum("jua,ijuv,jvb->iab", P_mat, R, P_mat)
-        )
-
+        P_mat, alpha, Z_new, zeta_new = stage_gains_and_value(
+            spec, eyeP, pad_diag, A, B, Q, l, R, r, Z, zeta,
+            adaptive_regularization)
         # Emit the incoming (k+1) value terms for the costate forward pass.
         return (Z_new, zeta_new), (P_mat, alpha, Z, zeta)
 
