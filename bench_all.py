@@ -157,9 +157,18 @@ def config3_intersection():
 
     problem = make_problem()
     params = _exec_params()
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     sps, stats = _throughput(problem, params, B)
-    ref = 2.24  # baselines/measured.json mean_solve_s=0.447 single core
+    # Distribution-matched measured baseline: the unmodified reference on
+    # the same perturbed-x0 draw (baselines/measured.json
+    # perturbed_x0_batch.solves_per_sec_single_core).
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "baselines",
+                               "measured.json")) as f:
+            ref = float(json.load(f)["perturbed_x0_batch"]
+                        ["solves_per_sec_single_core"])
+    except Exception:
+        ref = 2.24  # nominal-x0 fallback (mean_solve_s=0.447)
     emit(metric="three_player_intersection_solves_per_sec_per_chip",
          value=round(sps, 2), unit="solves/s/chip",
          vs_baseline=round(sps / ref, 2), **stats)
