@@ -420,7 +420,18 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         def deep_body(state):
             buf, nxt, rounds = state
             u = unhappy_of(buf) & (nxt < Cp)
-            sel = jnp.argsort(~u)[:Bc]
+            # Work-optimal packing: serve unhappy lanes with the SMALLEST
+            # next-candidate offset first. Serving a fixed first-Bc set
+            # (argsort(~u)) exhausts those lanes' windows before touching
+            # the rest, leaving the final rounds underfilled when
+            # unhappy > Bc (measured at B=1024: 10-11 rounds for ~180
+            # unhappy lanes vs the ceil(work/Bc) = 8 optimum —
+            # tools/profile_trip4.txt ladder_stats). Smallest-nxt-first
+            # equalizes progress so every round stays full of real work.
+            # Selection-invariant: evaluation order never changes the
+            # first-Armijo-pass selection (header note).
+            key = jnp.where(u, nxt, Cp + 1)
+            sel = jnp.argsort(key)[:Bc]
             offs = nxt[sel]                              # [Bc]
             # Per-lane windows; dynamic_slice clamps at the ladder end,
             # which re-evaluates (overwrites) identical tail merits.
