@@ -377,20 +377,22 @@ def quadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         return 0.5 * weight * jnp.abs(ssd)
 
     def _scalars(v):
-        q = jnp.array([v[xidx], v[yidx]])
+        qx, qy = v[xidx], v[yidx]
         # Sign-free query: gradients/Hessians use only the closest point,
         # segment frame, and vertex/endpoint flags (sign is dead here).
-        res = geometry.polyline_closest_point(pts, q, need_sign=False)
+        # Unstacked form: [2]-stacks become lane-minor arrays + cross-lane
+        # transposes under the sweep kernel's vmap (geometry.ClosestPointXY).
+        res = geometry.polyline_closest_point_xy(pts, qx, qy,
+                                                 need_sign=False)
 
         # Vertex branch: isotropic quadratic pull toward the vertex.
-        dxv = weight * (q[0] - res.point[0])
-        dyv = weight * (q[1] - res.point[1])
+        dxv = weight * (qx - res.cpx)
+        dyv = weight * (qy - res.cpy)
         hv = (weight, weight, 0.0)
 
         # Interior branch: quadratic in the cross-track coordinate.
-        ux, uy = res.unit_direction[0], res.unit_direction[1]
-        rel = q - res.segment_start
-        w_cross = weight * (rel[0] * uy - rel[1] * ux)
+        ux, uy = res.ux, res.uy
+        w_cross = weight * ((qx - res.p1x) * uy - (qy - res.p1y) * ux)
         dxi = w_cross * uy
         dyi = -w_cross * ux
         hi = (weight * uy * uy, weight * ux * ux, -weight * ux * uy)
@@ -450,17 +452,18 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         return jnp.where(res.is_endpoint | ~_active(ssd), 0.0, val)
 
     def _scalars(v):
-        q = jnp.array([v[xidx], v[yidx]])
-        res = geometry.polyline_closest_point(pts, q)
+        qx, qy = v[xidx], v[yidx]
+        # Unstacked query (geometry.ClosestPointXY rationale).
+        res = geometry.polyline_closest_point_xy(pts, qx, qy)
         ssd = res.signed_sq_distance
         gate = _active(ssd) & ~res.is_endpoint
 
         dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
         scaling = (dist - jnp.abs(threshold)) / dist
-        dxv = weight * scaling * (q[0] - res.point[0])
-        dyv = weight * scaling * (q[1] - res.point[1])
+        dxv = weight * scaling * (qx - res.cpx)
+        dyv = weight * scaling * (qy - res.cpy)
 
-        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        ux, uy = res.ux, res.uy
         # Componentwise scalar selects (no jnp.array constants: Mosaic
         # kernels cannot capture array consts — ops/pallas/sweep.py).
         hess_iv = (
@@ -470,8 +473,8 @@ def semiquadratic_polyline2(weight: float, points: jnp.ndarray, xidx: int,
         )
         # Interior branch replaces the gradient with the cross-track form
         # (src/semiquadratic_polyline2_cost.cpp:126-135).
-        rel = q - res.segment_start
-        w_cross = weight * (rel[0] * uy - rel[1] * ux - threshold)
+        w_cross = weight * (
+            (qx - res.p1x) * uy - (qy - res.p1y) * ux - threshold)
         dxi = w_cross * uy
         dyi = -w_cross * ux
         dx = jnp.where(res.is_vertex, dxv, dxi) * gate
@@ -521,13 +524,14 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         return _sgn(ssd) * jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS)) - nominal
 
     def _scalars(v):
-        q = jnp.array([v[xidx], v[yidx]])
-        res = geometry.polyline_closest_point(pts, q)
+        qx, qy = v[xidx], v[yidx]
+        # Unstacked query (geometry.ClosestPointXY rationale).
+        res = geometry.polyline_closest_point_xy(pts, qx, qy)
         ssd = res.signed_sq_distance * flip
         s = _sgn(ssd)
         dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
-        delta_x = q[0] - res.point[0]
-        delta_y = q[1] - res.point[1]
+        delta_x = qx - res.cpx
+        delta_y = qy - res.cpy
         denom = jnp.where(jnp.abs(ssd * dist) < _EPS, _EPS, ssd * dist)
 
         # Vertex branch: true derivatives of s*distance.
@@ -538,7 +542,7 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         dxdyv = -delta_x * delta_y / denom
 
         # Interior branch (shipped: orientation flip NOT applied here).
-        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        ux, uy = res.ux, res.uy
         dx = jnp.where(res.is_vertex, dxv, uy)
         dy = jnp.where(res.is_vertex, dyv, -ux)
         ddx = jnp.where(res.is_vertex, ddxv, 0.0)
@@ -566,14 +570,14 @@ def polyline2_signed_distance(points: jnp.ndarray, xidx: int, yidx: int,
         # quad_fn's gradient scalars without the Hessian work (the merit
         # path's dead Hessian costs a d^2 stack inside the sweep kernel,
         # which gets no DCE).
-        q = jnp.array([v[xidx], v[yidx]])
-        res = geometry.polyline_closest_point(pts, q)
+        qx, qy = v[xidx], v[yidx]
+        res = geometry.polyline_closest_point_xy(pts, qx, qy)
         ssd = res.signed_sq_distance * flip
         s = _sgn(ssd)
         dist = jnp.sqrt(jnp.maximum(jnp.abs(ssd), _EPS))
-        dxv = s * (q[0] - res.point[0]) / dist
-        dyv = s * (q[1] - res.point[1]) / dist
-        ux, uy = res.unit_direction[0], res.unit_direction[1]
+        dxv = s * (qx - res.cpx) / dist
+        dyv = s * (qy - res.cpy) / dist
+        ux, uy = res.ux, res.uy
         dx = jnp.where(res.is_vertex, dxv, uy)
         dy = jnp.where(res.is_vertex, dyv, -ux)
         return [(xidx, dx), (yidx, dy)]

@@ -188,17 +188,22 @@ def stage_gradients_core(player_costs, spec: GameSpec, lam_state_k,
     return jnp.stack(ls), jnp.stack(rs)
 
 
-def stage_gradient_sq_core(player_costs, spec: GameSpec, lam_state_k,
-                           lam_ctrl_k, mu, t, x, us):
-    """Per-player SQUARED-gradient sums (state_sq [P], ctrl_sq [P]) —
-    the merit increments (src/ilq_solver.cpp:400-435), computed from
-    sparse pairs WITHOUT assembling dense gradient vectors. The dense
-    [xd]-stacks of stage_gradients_core existed only to be squared and
-    summed inside the sweep kernel — pure vreg-copy overhead there
-    (most state dims carry no gradient). Per-dim accumulation order
+def stage_gradient_sq_tuple(player_costs, spec: GameSpec, lam_state_k,
+                            lam_ctrl_k, mu, t, x, us):
+    """Per-player SQUARED-gradient sums as TUPLES of P scalars
+    (state_sqs, ctrl_sqs) — the merit increments
+    (src/ilq_solver.cpp:400-435), computed from sparse pairs WITHOUT
+    assembling dense gradient vectors. Per-dim accumulation order
     matches stage_gradients_core; dims are squared and summed in
     ascending order. Falls back to the dense path per player when a
-    cost provides no sparse gradient."""
+    cost provides no sparse gradient.
+
+    Returns tuples, not a stacked [P] array: under the sweep kernel's
+    double vmap a stacked [P] output becomes a lane-minor [C, B, P]
+    concatenate plus TWO cross-lane transposes per knot, which Mosaic
+    lowers at ~100x the cost of the actual gradient math
+    (tools/sweep_floor5*.txt). Kernel consumers sum the tuple entries
+    per player instead."""
     xd = spec.xdim
     um = spec.umax
 
@@ -257,6 +262,16 @@ def stage_gradient_sq_core(player_costs, spec: GameSpec, lam_state_k,
                     udense = g if udense is None else udense + g
         ctrl_sqs.append(sq_of(upairs, udense, um, us[i, 0]))
 
+    return tuple(state_sqs), tuple(ctrl_sqs)
+
+
+def stage_gradient_sq_core(player_costs, spec: GameSpec, lam_state_k,
+                           lam_ctrl_k, mu, t, x, us):
+    """Stacked form of `stage_gradient_sq_tuple`: (state_sq [P],
+    ctrl_sq [P]). Fine under plain XLA; inside Pallas kernels prefer
+    the tuple form (see its docstring)."""
+    state_sqs, ctrl_sqs = stage_gradient_sq_tuple(
+        player_costs, spec, lam_state_k, lam_ctrl_k, mu, t, x, us)
     return jnp.stack(state_sqs), jnp.stack(ctrl_sqs)
 
 

@@ -44,6 +44,25 @@ class ClosestPointResult(NamedTuple):
     unit_direction: jnp.ndarray  # [2] chosen segment's unit direction
 
 
+class ClosestPointXY(NamedTuple):
+    """Scalar-component form of ClosestPointResult. Inside Pallas kernels
+    every [2]-vector stack/index pair becomes, under the sweep kernel's
+    double vmap, an array with the 2-axis in the LANE-minor position plus
+    a cross-lane transpose — which Mosaic lowers pathologically (measured
+    ~100 us/knot of pure relayout, tools/sweep_floor5*.txt). Kernel-path
+    consumers use this unstacked form; values are bitwise identical."""
+
+    cpx: jnp.ndarray  # closest point x
+    cpy: jnp.ndarray  # closest point y
+    signed_sq_distance: jnp.ndarray
+    is_vertex: jnp.ndarray
+    is_endpoint: jnp.ndarray
+    p1x: jnp.ndarray  # chosen segment's first point
+    p1y: jnp.ndarray
+    ux: jnp.ndarray  # chosen segment's unit direction
+    uy: jnp.ndarray
+
+
 def segment_side(p1: jnp.ndarray, unit_dir: jnp.ndarray, query: jnp.ndarray):
     """True when `query` is on the right of the directed segment."""
     rel = query - p1
@@ -104,6 +123,25 @@ def polyline_point_at(points: jnp.ndarray, route_pos: jnp.ndarray) -> jnp.ndarra
 def polyline_closest_point(
     points: jnp.ndarray, query: jnp.ndarray, need_sign: bool = True
 ) -> ClosestPointResult:
+    """Stacked-API wrapper around `polyline_closest_point_xy` (see its
+    docstring for semantics). Prefer the _xy form inside Pallas kernels —
+    the [2]-stacks built here are pure relayout cost under Mosaic."""
+    r = polyline_closest_point_xy(points, query[0], query[1],
+                                  need_sign=need_sign)
+    return ClosestPointResult(
+        point=jnp.stack([r.cpx, r.cpy]),
+        signed_sq_distance=r.signed_sq_distance,
+        is_vertex=r.is_vertex,
+        is_endpoint=r.is_endpoint,
+        segment_start=jnp.stack([r.p1x, r.p1y]),
+        unit_direction=jnp.stack([r.ux, r.uy]),
+    )
+
+
+def polyline_closest_point_xy(
+    points: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray,
+    need_sign: bool = True
+) -> ClosestPointXY:
     """Closest point on the polyline with the reference's exact semantics
     (src/polyline2.cpp ClosestPoint + src/line_segment2.cpp ClosestPoint):
 
@@ -130,7 +168,6 @@ def polyline_closest_point(
     """
     pts, segs = _static_segments(points)
     S = len(segs)
-    qx, qy = query[0], query[1]
 
     # ---- per-segment candidates (all scalar ops, float constants) ----
     cand = []
@@ -241,13 +278,16 @@ def polyline_closest_point(
     d_last = (cpx - lx) ** 2 + (cpy - ly) ** 2
     is_endpoint = (d_first < SMALL_NUMBER) | (d_last < SMALL_NUMBER)
 
-    return ClosestPointResult(
-        point=jnp.stack([cpx, cpy]),
+    return ClosestPointXY(
+        cpx=cpx,
+        cpy=cpy,
         signed_sq_distance=chosen_ssd,
         is_vertex=chosen_is_vertex,
         is_endpoint=is_endpoint,
-        segment_start=jnp.stack([p1x, p1y]),
-        unit_direction=jnp.stack([unx, uny]),
+        p1x=p1x,
+        p1y=p1y,
+        ux=unx,
+        uy=uny,
     )
 
 

@@ -135,20 +135,26 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
 
         def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
             """Double-vmapped per-player SQUARED-gradient sums over
-            state-major [x, C, B] layouts (candidates on axis 1):
-            (state_sq [P, C, B], ctrl_sq [P, C, B]). Squared sums come
-            straight from sparse gradient pairs — assembling dense
-            [P, xd] gradients in-kernel just to square them cost ~66
-            vreg copies per knot (tools/grads_floor3.txt)."""
+            state-major [x, C, B] layouts (candidates on axis 1), as
+            TUPLES of P [C, B] scalars. Squared sums come straight from
+            sparse gradient pairs — assembling dense [P, xd] gradients
+            in-kernel just to square them cost ~66 vreg copies per knot
+            (tools/grads_floor3.txt). Tuple (unstacked) outputs: a
+            stacked [P] core output vmaps into a lane-minor [C, B, P]
+            concatenate + two cross-lane transposes per knot that Mosaic
+            lowers at ~100 us/knot — 375x the cost of the gradient math
+            itself (tools/sweep_floor5*.txt)."""
             def core(tt, xx, uu, ls, lc, m):
-                return pcost.stage_gradient_sq_core(
+                return pcost.stage_gradient_sq_tuple(
                     player_costs, spec, ls, lc, m, tt, xx, uu
                 )
 
+            # Scalar leaves: inner vmap appends B (-1 -> [B]), outer
+            # prepends C (0 -> [C, B]).
             inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
                              out_axes=-1)
             outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
-                             out_axes=1)
+                             out_axes=0)
             return outer(t, x_cb, us_cb, lamS, lamC, mu)
 
     def integ_cb(t, x_cb, us_cb):
@@ -227,13 +233,18 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                 )
                 mu = mu_ref[0]                # [B]
                 s_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
-                # s_cb/r_cb [P, C, B]; gate [P, B]. gate is 0/1, so
-                # gating the squared sum equals squaring the gated
-                # gradient ((l*g)^2 = l^2*g for g in {0,1}).
+                # s_cb/r_cb: tuples of P [C, B] scalars; gate [P, B].
+                # gate is 0/1, so gating the squared sum equals squaring
+                # the gated gradient ((l*g)^2 = l^2*g for g in {0,1}).
+                # Per-player left-fold sums match the previous stacked
+                # jnp.sum(axis=0) association exactly.
                 gate_k = gate_ref[pl.ds(k, 1)][0]
-                state_term = jnp.sum(
-                    s_cb * gate_k[:, None, :], axis=0)  # [C, B]
-                ctrl_term = jnp.sum(r_cb, axis=0)
+                state_term = s_cb[0] * gate_k[0][None, :]
+                for p_ in range(1, P):
+                    state_term = state_term + s_cb[p_] * gate_k[p_][None, :]
+                ctrl_term = r_cb[0]
+                for p_ in range(1, P):
+                    ctrl_term = ctrl_term + r_cb[p_]
                 inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
                 merit_ref[...] = merit_ref[...] + inc
 

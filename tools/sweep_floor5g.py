@@ -1,0 +1,258 @@
+"""Minimal-pair bisection of the merit-content cliff (round 4, part g).
+
+Post-destack state (tools/kernel_profile6.txt): the production sweep
+kernel still pays ~131 us/knot/block. Known-fast: ONE player, ONE
+quadratic through the full pcost+vmap plumbing (c2, 0.51 us). Known-
+slow: ONE player, ONE polyline cost (f_lane2, 115 us). This ladder
+walks between them — all variants are a single state cost on player 2
+(the 6-segment lane) unless noted:
+
+  g1_trivial   gp = [(6, v[6])]
+  g2_cp        closest-point query; gp = [(6, v[6] - cpx)]
+  g3_onepair   real polyline _scalars; only the (6, dx) pair
+  g4_real      the real quadratic_polyline2 (re-measure, new code)
+  g5_nomv3     3-player nominal-v (re-measure, new code)
+  g6_nomv2     2-player nominal-v (players 0+1)
+
+JSON to tools/sweep_floor5g.txt. Run alone on the TPU.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+for _i in range(20):
+    try:
+        jax.devices(); break
+    except RuntimeError:
+        time.sleep(15)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqgames_tpu import geometry
+from ilqgames_tpu.costs import player_cost as pcost
+from ilqgames_tpu.costs.base import Cost
+from ilqgames_tpu.dynamics import base as dyn_base
+from ilqgames_tpu.examples.three_player_intersection import (
+    LANE_COST_WEIGHT, lane_polylines, make_problem)
+
+OUT = "/root/repo/tools/sweep_floor5g.txt"
+Bb = 128
+N = 100
+C = 8
+
+
+def rec(**kw):
+    line = json.dumps(kw)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def timeit(fn, *args, reps=20):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return compile_s, (time.perf_counter() - t0) / reps
+
+
+def run_kernel(kern, operands, out_shape, scratch=()):
+    f = jax.jit(lambda *a: pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
+                   for _ in out_shape],
+        scratch_shapes=list(scratch),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*a))
+    return timeit(f, *operands)
+
+
+problem = make_problem()
+dyn, spec, pcs = problem.dynamics, problem.spec, problem.player_costs
+x = spec.xdim
+P = spec.num_players
+u = spec.umax
+Pu = P * u
+dt = spec.dt
+rng = np.random.RandomState(0)
+_, lane2, _ = lane_polylines()
+
+x0c = jnp.asarray(rng.randn(x, C, Bb).astype(np.float32))
+Ps = jnp.asarray(0.01 * rng.randn(N, Pu, x, Bb).astype(np.float32))
+al = jnp.asarray(0.01 * rng.randn(N, Pu, Bb).astype(np.float32))
+xs_t = jnp.asarray(rng.randn(N, x, Bb).astype(np.float32))
+us_t = jnp.asarray(0.01 * rng.randn(N, Pu, Bb).astype(np.float32))
+scal = jnp.asarray(0.5 * np.ones((C, Bb), np.float32))
+t0v = jnp.zeros((1, Bb), jnp.float32)
+gate = jnp.ones((N, P, Bb), jnp.float32)
+mu = 10.0 * jnp.ones((1, Bb), jnp.float32)
+
+u_mask_flat = np.zeros((Pu,), np.float32)
+for i, d in enumerate(spec.udims):
+    u_mask_flat[i * u:i * u + d] = 1.0
+
+
+def integC_lane_t(t, xx, uu):
+    one = lambda tt, x_, u_: dyn_base.integrate(dyn, tt, dt, x_, u_)
+    inner = jax.vmap(one, in_axes=(0, -1, -1), out_axes=-1)
+    return jax.vmap(inner, in_axes=(None, 1, 2), out_axes=1)(t, xx, uu)
+
+
+def feedback_prod(P_k, a_k, u_ref_k, sc, delta):
+    rows = []
+    for af in range(Pu):
+        acc = P_k[af, 0][None, :] * delta[0]
+        for xx_ in range(1, x):
+            acc = acc + P_k[af, xx_][None, :] * delta[xx_]
+        row = u_ref_k[af][None, :] - acc - sc * a_k[af][None, :]
+        rows.append(row * float(u_mask_flat[af]))
+    return jnp.stack(rows, 0)
+
+
+def make_merit_kernel(pcs_variant):
+    n_sc = [len(pc.state_constraints) for pc in pcs_variant]
+    n_cc = [len(pc.control_constraints) for pc in pcs_variant]
+
+    def grads_cb(t, x_cb, us_cb, lamS, lamC, m):
+        def core(tt, xx, uu, ls, lc, mm):
+            return pcost.stage_gradient_sq_tuple(
+                pcs_variant, spec, ls, lc, mm, tt, xx, uu)
+        inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
+                         out_axes=-1)
+        outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
+                         out_axes=0)
+        return outer(t, x_cb, us_cb, lamS, lamC, m)
+
+    def kern(x_ref, Ps_ref, al_ref, xr_ref, ur_ref, scal_ref, t0_ref,
+             gate_ref, mu_ref, merit_ref, o_ref, xcur):
+        sc = scal_ref[...]
+        xcur[...] = x_ref[...]
+        merit_ref[...] = jnp.zeros_like(merit_ref)
+        def step(k, _):
+            xc = xcur[...]
+            P_k = Ps_ref[pl.ds(k, 1)][0]
+            a_k = al_ref[pl.ds(k, 1)][0]
+            xr = xr_ref[pl.ds(k, 1)][0]
+            ur = ur_ref[pl.ds(k, 1)][0]
+            t = t0_ref[0] + k.astype(jnp.float32) * dt
+            us_flat = feedback_prod(P_k, a_k, ur, sc, xc - xr[:, None, :])
+            us_cb = us_flat.reshape(P, u, C, Bb)
+            lamS = tuple(jnp.zeros((n_sc[p_], Bb), jnp.float32)
+                         for p_ in range(P))
+            lamC = tuple(jnp.zeros((n_cc[p_], Bb), jnp.float32)
+                         for p_ in range(P))
+            s_cb, r_cb = grads_cb(t, xc, us_cb, lamS, lamC, mu_ref[0])
+            gate_k = gate_ref[pl.ds(k, 1)][0]
+            state_term = s_cb[0] * gate_k[0][None, :]
+            for p_ in range(1, P):
+                state_term = state_term + s_cb[p_] * gate_k[p_][None, :]
+            ctrl_term = r_cb[0]
+            for p_ in range(1, P):
+                ctrl_term = ctrl_term + r_cb[p_]
+            merit_ref[...] = merit_ref[...] + ctrl_term + jnp.where(
+                k > 0, state_term, 0.0)
+            xcur[...] = integC_lane_t(t, xc, us_cb)
+            return 0
+        jax.lax.fori_loop(0, N, step, 0)
+        o_ref[...] = xcur[...]
+    return kern
+
+
+def one_cost_pcs(cost):
+    """pcs with all content removed except `cost` on player 2 (idx 1)."""
+    out = []
+    for pi, pc in enumerate(pcs):
+        out.append(dataclasses.replace(
+            pc,
+            state_costs=(cost,) if (pi == 1 and cost is not None) else (),
+            state_constraints=(), control_costs=(),
+            control_constraints=()))
+    return tuple(out)
+
+
+pts = jnp.asarray(lane2, jnp.float32)
+
+
+def mk(name, gp):
+    return Cost(name, lambda t, v: jnp.zeros(()), None,
+                grad_pairs_fn=lambda t, v: gp(v))
+
+
+def gp_trivial(v):
+    return [(6, v[6])]
+
+
+def gp_cp(v):
+    res = geometry.polyline_closest_point_xy(pts, v[6], v[7],
+                                             need_sign=False)
+    return [(6, v[6] - res.cpx)]
+
+
+def _lane_scalars(v):
+    qx, qy = v[6], v[7]
+    res = geometry.polyline_closest_point_xy(pts, qx, qy, need_sign=False)
+    dxv = LANE_COST_WEIGHT * (qx - res.cpx)
+    dyv = LANE_COST_WEIGHT * (qy - res.cpy)
+    ux, uy = res.ux, res.uy
+    w_cross = LANE_COST_WEIGHT * ((qx - res.p1x) * uy - (qy - res.p1y) * ux)
+    dxi = w_cross * uy
+    dyi = -w_cross * ux
+    use_v = res.is_vertex
+    g = ~res.is_endpoint
+    dx = jnp.where(use_v, dxv, dxi) * g
+    dy = jnp.where(use_v, dyv, dyi) * g
+    return dx, dy
+
+
+def gp_onepair(v):
+    dx, _ = _lane_scalars(v)
+    return [(6, dx)]
+
+
+VARIANTS = [
+    ("g1_trivial", one_cost_pcs(mk("g1", gp_trivial))),
+    ("g2_cp", one_cost_pcs(mk("g2", gp_cp))),
+    ("g3_onepair", one_cost_pcs(mk("g3", gp_onepair))),
+    ("g4_real", one_cost_pcs(pcs[1].state_costs[0])),
+]
+
+# g5/g6: nominal-v on 3 / 2 players.
+nomv = [pc.state_costs[1] for pc in pcs]
+g5 = tuple(dataclasses.replace(
+    pc, state_costs=(nomv[pi],), state_constraints=(), control_costs=(),
+    control_constraints=()) for pi, pc in enumerate(pcs))
+g6 = tuple(dataclasses.replace(
+    pc, state_costs=(nomv[pi],) if pi < 2 else (),
+    state_constraints=(), control_costs=(), control_constraints=())
+    for pi, pc in enumerate(pcs))
+VARIANTS += [("g5_nomv3", g5), ("g6_nomv2", g6)]
+
+for name, pcs_v in VARIANTS:
+    kern = make_merit_kernel(pcs_v)
+    cs, rs = run_kernel(
+        kern, [x0c, Ps, al, xs_t, us_t, scal, t0v, gate, mu],
+        [jax.ShapeDtypeStruct((C, Bb), jnp.float32),
+         jax.ShapeDtypeStruct((x, C, Bb), jnp.float32)],
+        scratch=[pltpu.VMEM((x, C, Bb), jnp.float32)])
+    rec(stage=name, compile_s=round(cs, 1),
+        us_per_knot=round(rs / N * 1e6, 2))
+
+rec(stage="done")
