@@ -35,8 +35,18 @@ def make_problem(dt=None, num_time_steps=None, x0=(1.0, 0.0)) -> Problem:
             b11 * us[0, 0] + b21 * us[1, 0],
         ])
 
+    def ode_jac(t, x, us):
+        # Sparse analytic Jacobians (dynamics/base.py entry format:
+        # ((row, col), val) / ((row, player, col), val)) so the fused
+        # Pallas stage kernel serves this problem too.
+        jx = [((0, 1), 1.0)]
+        ju = [((0, 0, 0), b10), ((0, 1, 0), b20),
+              ((1, 0, 0), b11), ((1, 1, 0), b21)]
+        return jx, ju
+
     dyn = MultiPlayerDynamics(
         name="two_player_point_mass", xdims=(2, 0), udims=(1, 1), ode=ode,
+        ode_jac=ode_jac,
     )
     spec = dyn.spec(dt=dt, num_time_steps=num_time_steps)
 

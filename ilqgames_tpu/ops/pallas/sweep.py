@@ -27,6 +27,7 @@ overhead for the same math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,18 @@ def _time_block(n: int, cap: int = 16) -> int:
         if n % tb == 0:
             return tb
     return 1
+
+
+def _merit_in_kernel() -> bool:
+    """Escape hatch: ILQ_SWEEP_MERIT=kernel restores the in-kernel merit
+    accumulation. Default is the emit + XLA-merit split (below): the
+    cost-gradient content inside the Mosaic kernel hits an unpredictable
+    ~100 us/knot scheduling cliff (tools/sweep_floor5b-h.txt: a 2-segment
+    polyline query costs 0.49 us/knot, the 6-segment one 105; 1-player
+    quadratics 0.5, 2-player 101 — no stable invariant), while the same
+    math under plain XLA over emitted candidate trajectories costs
+    ~2.5 us/knot/block INCLUDING the emit (tools/sweep_floor5i.txt)."""
+    return os.environ.get("ILQ_SWEEP_MERIT", "xla") == "kernel"
 
 
 # Scoped-VMEM budget for the sweep kernel's RESIDENT arrays (operand +
@@ -249,10 +262,12 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                 merit_ref[...] = merit_ref[...] + inc
 
             if emit_traj:
-                xso_ref[pl.ds(k, 1)] = x_c.reshape(
-                    1, x * C, x_c.shape[-1])
-                uso_ref[pl.ds(k, 1)] = us_flat.reshape(
-                    1, Pu * C, us_flat.shape[-1])
+                # 4D stores (axis-insert only, no flatten-reshape): the
+                # [x, C, B] -> [1, x*C, B] flatten before the store made
+                # the C=1 reroll pay 27 us/knot of relayout vs 1.8 for
+                # the reshape-free form (tools/sweep_floor5d/i.txt).
+                xso_ref[pl.ds(k, 1)] = x_c[None]
+                uso_ref[pl.ds(k, 1)] = us_flat[None]
 
             xcur[...] = integ_cb(t, x_c, us_cb)
             return 0
@@ -326,12 +341,12 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((C, B), jnp.float32))
     if emit_traj:
-        out_specs.append(pl.BlockSpec((N, C * x, Bb), whole3,
+        out_specs.append(pl.BlockSpec((N, x, C, Bb), whole4,
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((N, C * x, B), jnp.float32))
-        out_specs.append(pl.BlockSpec((N, C * Pu, Bb), whole3,
+        out_shape.append(jax.ShapeDtypeStruct((N, x, C, B), jnp.float32))
+        out_specs.append(pl.BlockSpec((N, Pu, C, Bb), whole4,
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((N, C * Pu, B), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((N, Pu, C, B), jnp.float32))
 
     kern = _make_kernel(dyn, player_costs, spec, C, nS, nC,
                         compute_merit, emit_traj, N=N)
@@ -391,6 +406,87 @@ def _prep_al(spec, al_state, extreme_gate, Bb):
     return lamS, lamC, mu, gate
 
 
+def _xla_merits(player_costs, spec: GameSpec, xs_cand, us_cand, t0_bm,
+                lamS, lamC, mu, gate):
+    """Merit of every candidate from EMITTED trajectories, under plain
+    XLA: [N,x,C,B] x [N,Pu,C,B] -> raw merits [C, B] (callers apply the
+    0.5 factor). Exactly the in-kernel formula and fold order
+    (_make_kernel's merit branch): per-knot gated squared-gradient sums,
+    control terms always, state terms for k > 0, accumulated in
+    ascending k via lax.scan. The per-knot math is embarrassingly
+    parallel — it never needed to live inside the sequential rollout
+    kernel, where Mosaic schedules it ~50x slower (_merit_in_kernel)."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    u = spec.umax
+    C = xs_cand.shape[2]
+    B = xs_cand.shape[-1]
+    dt = spec.dt
+    n_sc = [len(pc.state_constraints) for pc in player_costs]
+    n_cc = [len(pc.control_constraints) for pc in player_costs]
+    sc_off = np.cumsum([0] + n_sc)
+    cc_off = np.cumsum([0] + n_cc)
+    nS = sum(n_sc)
+    nC = sum(n_cc)
+    if lamS is None:
+        lamS = jnp.zeros((N, nS, B), jnp.float32)
+    if lamC is None:
+        lamC = jnp.zeros((N, nC, B), jnp.float32)
+    ts = t0_bm[0][None, :] + (
+        jnp.arange(N, dtype=jnp.float32)[:, None] * dt)  # [N, B]
+    mu_b = mu[0]  # [B]
+
+    def core(tt, xx, uu, ls, lc, m):
+        return pcost.stage_gradient_sq_tuple(
+            player_costs, spec, ls, lc, m, tt, xx, uu)
+
+    inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0), out_axes=-1)
+    outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
+                     out_axes=0)
+
+    def body(carry, args):
+        k, merit = carry
+        t_b, xk, uk, lamS_k, lamC_k, gate_k = args
+        ls = tuple(lamS_k[sc_off[p_]:sc_off[p_ + 1]] for p_ in range(P))
+        lc = tuple(lamC_k[cc_off[p_]:cc_off[p_ + 1]] for p_ in range(P))
+        s_cb, r_cb = outer(t_b, xk, uk.reshape(P, u, C, B), ls, lc, mu_b)
+        state_term = s_cb[0] * gate_k[0][None, :]
+        for p_ in range(1, P):
+            state_term = state_term + s_cb[p_] * gate_k[p_][None, :]
+        ctrl_term = r_cb[0]
+        for p_ in range(1, P):
+            ctrl_term = ctrl_term + r_cb[p_]
+        inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
+        return (k + 1, merit + inc), None
+
+    (_, merits), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((C, B), jnp.float32)),
+        (ts, xs_cand, us_cand, lamS, lamC, gate),
+    )
+    return merits
+
+
+def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
+                 lamS, lamC, mu, gate, batch_block, interpret):
+    """One candidate-chunk of raw merits [Cc, B], emit + XLA split (or
+    the in-kernel path under ILQ_SWEEP_MERIT=kernel)."""
+    if _merit_in_kernel():
+        (merits,) = _run(
+            dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
+            lamC, mu, gate, compute_merit=True, emit_traj=False,
+            batch_block=batch_block, interpret=interpret,
+        )
+        return merits
+    xs_cand, us_cand = _run(
+        dyn, None, spec, x0m, op_bm, st_bm, scal_cb, None, None, None,
+        None, compute_merit=False, emit_traj=True,
+        batch_block=batch_block, interpret=interpret,
+    )
+    return _xla_merits(player_costs, spec, xs_cand, us_cand,
+                       op_bm["t0"], lamS, lamC, mu, gate)
+
+
 def rollout_bm(
     dyn,
     spec: GameSpec,
@@ -431,10 +527,13 @@ def sweep_merits_bm(
     per-lane windows); the kernel consumes [C, B] either way."""
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
+    in_kernel = _merit_in_kernel()
     Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block,
-                         nS=0 if lamS is None else lamS.shape[1],
-                         nC=0 if lamC is None else lamC.shape[1],
-                         cap=cand_chunk)
+                         nS=(lamS.shape[1] if (in_kernel and lamS
+                                               is not None) else 0),
+                         nC=(lamC.shape[1] if (in_kernel and lamC
+                                               is not None) else 0),
+                         cap=cand_chunk, emit_traj=not in_kernel)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -442,12 +541,9 @@ def sweep_merits_bm(
         else:
             scal_cb = jnp.broadcast_to(
                 scalings[c0:c0 + Cc, None], (Cc, B))
-        (merits,) = _run(
+        parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
-            lamC, mu, gate, compute_merit=True, emit_traj=False,
-            batch_block=batch_block, interpret=interpret,
-        )
-        parts.append(merits)
+            lamC, mu, gate, batch_block, interpret))
     return 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
 
 
@@ -485,8 +581,8 @@ def rollout_pallas(
         compute_merit=False, emit_traj=True,
         batch_block=batch_block, interpret=interpret,
     )
-    xs = mb(xs_r, Bt)                       # [Bt, N, x]  (C == 1)
-    us = mb(us_r, Bt).reshape(Bt, N, P, u)
+    xs = mb(xs_r.reshape(N, x, -1), Bt)     # [Bt, N, x]  (C == 1)
+    us = mb(us_r.reshape(N, P * u, -1), Bt).reshape(Bt, N, P, u)
     return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
 
 
@@ -528,10 +624,13 @@ def sweep_merits_pallas(
     C = scalings.shape[-1] if scalings.ndim == 2 else scalings.shape[0]
     lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
+    in_kernel = _merit_in_kernel()
     Cc = _fit_cand_chunk(spec, C=C, Bb=Bb,
-                         nS=0 if lamS is None else lamS.shape[1],
-                         nC=0 if lamC is None else lamC.shape[1],
-                         cap=cand_chunk)
+                         nS=(lamS.shape[1] if (in_kernel and lamS
+                                               is not None) else 0),
+                         nC=(lamC.shape[1] if (in_kernel and lamC
+                                               is not None) else 0),
+                         cap=cand_chunk, emit_traj=not in_kernel)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -539,12 +638,9 @@ def sweep_merits_pallas(
         else:
             scal_cb = jnp.broadcast_to(
                 scalings[c0:c0 + Cc, None], (Cc, B))
-        (merits,) = _run(
+        parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC,
-            mu, gate, compute_merit=True, emit_traj=False,
-            batch_block=Bb, interpret=interpret,
-        )
-        parts.append(merits)
+            mu, gate, Bb, interpret))
     return 0.5 * mb(jnp.concatenate(parts, axis=0), Bt)  # [Bt, C]
 
 
@@ -587,8 +683,7 @@ def rollout_candidates_pallas(
             None, compute_merit=False, emit_traj=True,
             batch_block=batch_block, interpret=interpret,
         )
-        xs_parts.append(
-            xs_r.reshape(N, x, Cc, B).transpose(0, 2, 1, 3))
+        xs_parts.append(xs_r.transpose(0, 2, 1, 3))
         us_parts.append(
             us_r.reshape(N, P, u, Cc, B).transpose(0, 3, 1, 2, 4))
     xs = mb(jnp.concatenate(xs_parts, axis=1), Bt)   # [Bt, N, C, x]

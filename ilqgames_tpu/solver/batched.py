@@ -98,11 +98,18 @@ def _resolve_fuse_stages(fuse_stages):
     return fuse_stages
 
 
-def _resolve_fuse_for(params, fuse_stages):
+def _resolve_fuse_for(params, fuse_stages, dyn=None):
     """fuse_stages resolution incl. the open-loop guard (the fused
-    stage kernel is feedback-only)."""
+    stage kernel is feedback-only) and the analytic-Jacobian guard
+    (lin_quad_pallas cannot lower jacfwd on Mosaic, so dynamics without
+    `ode_jac` — e.g. hand-built MultiPlayerDynamics like the point-mass
+    LQ game — fall back to the XLA stage path instead of erroring)."""
     fs = _resolve_fuse_stages(fuse_stages)
-    return False if params.open_loop else fs
+    if params.open_loop:
+        return False
+    if fs and dyn is not None and dyn.ode_jac is None:
+        return False
+    return fs
 
 
 def _empty_quad(Bt):
@@ -781,7 +788,7 @@ def make_host_batched_solver(dyn, player_costs, spec, params,
     docs/scaling.md). The global batch must divide mesh size *
     batch_block... or rather mesh size; each shard pads to batch_block
     lanes internally."""
-    fuse_stages = _resolve_fuse_for(params, fuse_stages)
+    fuse_stages = _resolve_fuse_for(params, fuse_stages, dyn)
     if warm_op is None:
         warm_op = OperatingPoint.zeros(spec)
     if warm_strategy is None:
@@ -815,7 +822,7 @@ def make_host_batched_warm_solver(dyn, player_costs, spec, params,
     horizon replanning path (runtime/receding_horizon.py simulate_batched
     backend='pallas')."""
 
-    fuse_stages = _resolve_fuse_for(params, fuse_stages)
+    fuse_stages = _resolve_fuse_for(params, fuse_stages, dyn)
 
     def init(x0_b, wop_b, wst_b, al_b):
         return _carry0(dyn, player_costs, spec, x0_b, wop_b, wst_b, al_b,
