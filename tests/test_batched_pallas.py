@@ -303,3 +303,34 @@ def test_tiered_compact_ladder_parity(setup):
         np.asarray(res_ref.cumulative_iterations))
     np.testing.assert_allclose(res_b.op.xs, res_ref.op.xs,
                                rtol=5e-3, atol=5e-3)
+
+
+def test_fuse_stages_guards():
+    """_resolve_fuse_for: the production default (True) must fall back
+    to the XLA stage path for dynamics without analytic Jacobians
+    (lin_quad_pallas cannot lower jacfwd on Mosaic) and for open-loop
+    problems, instead of erroring at kernel-build time."""
+    import dataclasses
+
+    from ilqgames_tpu.examples.three_player_intersection import (
+        make_problem as make_flagship)
+    from ilqgames_tpu.examples.two_player_point_mass import (
+        make_problem as make_pm)
+    from ilqgames_tpu.solver.batched import _resolve_fuse_for
+    from ilqgames_tpu.solver.params import SolverParams
+
+    params = SolverParams()
+    flagship = make_flagship()
+    assert _resolve_fuse_for(params, True, flagship.dynamics) is True
+
+    # The point-mass game ships an analytic Jacobian now (fast path)...
+    pm = make_pm()
+    assert pm.dynamics.ode_jac is not None
+    assert _resolve_fuse_for(params, True, pm.dynamics) is True
+    # ...and any jac-less dynamics falls back instead of raising.
+    nojac = dataclasses.replace(pm.dynamics, ode_jac=None)
+    assert _resolve_fuse_for(params, True, nojac) is False
+
+    # Open-loop always disables the (feedback-only) fused stage kernel.
+    ol = dataclasses.replace(params, open_loop=True)
+    assert _resolve_fuse_for(ol, True, flagship.dynamics) is False
