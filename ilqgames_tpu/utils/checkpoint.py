@@ -32,3 +32,31 @@ def load(path: str, example: Any) -> Any:
     n = treedef.num_leaves
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def reshard(tree: Any, mesh) -> Any:
+    """Re-place a batched solver-state pytree on `mesh` (batch axis
+    sharded over the mesh's devices). Instances never communicate
+    (parallel/mesh.py), so a topology change is pure data movement:
+    checkpoints taken on an N-device mesh resume bit-identically on any
+    M-device mesh whose size divides the batch. This is the elasticity
+    story — shrink or grow the fleet between (not during) solves."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ilqgames_tpu.parallel.mesh import BATCH_AXIS
+
+    B = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    n_dev = mesh.devices.size
+    if B % n_dev != 0:
+        raise ValueError(
+            f"batch {B} does not divide over {n_dev} devices; pad or "
+            f"trim the batch before resharding")
+    sharding = NamedSharding(mesh, PartitionSpec(BATCH_AXIS))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), tree)
+
+
+def resume_on_mesh(path: str, example: Any, mesh) -> Any:
+    """Load a checkpoint written by `save` and place it on `mesh` —
+    the mesh need NOT match the topology the checkpoint was taken on."""
+    return reshard(load(path, example), mesh)

@@ -47,3 +47,61 @@ def test_batched_solve_matches_single():
         np.asarray(batched.total_costs[3]), np.asarray(single.total_costs),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_checkpoint_resume_on_different_mesh(tmp_path):
+    """Elasticity: a checkpoint taken against a 2-device mesh resumes on
+    a 4-device mesh and continues to the SAME result as a run that never
+    changed topology (instances are pure data parallel, so a topology
+    change is data movement only — utils/checkpoint.reshard)."""
+    from jax.sharding import Mesh
+
+    from ilqgames_tpu.solver import batched as bsolver
+    from ilqgames_tpu.utils import checkpoint
+
+    problem = make_problem(num_time_steps=10)
+    dyn, costs, spec = (problem.dynamics, problem.player_costs,
+                        problem.spec)
+    batch = 8
+    rng = np.random.RandomState(1)
+    x0 = np.tile(np.asarray(problem.x0)[None], (batch, 1))
+    x0 += 0.05 * rng.randn(*x0.shape).astype(np.float32)
+    x0 = jnp.asarray(x0)
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:2]), (pmesh.BATCH_AXIS,))
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), (pmesh.BATCH_AXIS,))
+
+    # Leg 1 on the 2-device mesh: a short cold solve whose result is the
+    # warm state; checkpoint (x0 + warm state + multipliers) to disk.
+    leg1_params = PARAMS
+    run2 = bsolver.make_host_batched_solver(
+        dyn, costs, spec, leg1_params, trips_per_call=5, batch_block=1,
+        interpret=True, mesh=mesh2)
+    res1 = run2(x0)
+    state = dict(op=res1.op, strategy=res1.strategy, al=res1.al_state)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, state)
+
+    # Leg 2a (control): continue warm on the ORIGINAL topology.
+    warm2 = bsolver.make_host_batched_warm_solver(
+        dyn, costs, spec, PARAMS, trips_per_call=5, batch_block=1,
+        interpret=True, mesh=mesh2)
+    ref = warm2(x0, res1.op, res1.strategy, res1.al_state)
+
+    # Leg 2b: resume the CHECKPOINT on the 4-device mesh.
+    restored = checkpoint.resume_on_mesh(path, state, mesh4)
+    assert len(restored["op"].xs.sharding.device_set) == 4
+    warm4 = bsolver.make_host_batched_warm_solver(
+        dyn, costs, spec, PARAMS, trips_per_call=5, batch_block=1,
+        interpret=True, mesh=mesh4)
+    res = warm4(jnp.asarray(checkpoint.reshard(x0, mesh4)),
+                restored["op"], restored["strategy"], restored["al"])
+
+    np.testing.assert_array_equal(
+        np.asarray(res.converged), np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(res.op.xs),
+                               np.asarray(ref.op.xs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.total_costs),
+                               np.asarray(ref.total_costs),
+                               rtol=1e-6, atol=1e-6)
