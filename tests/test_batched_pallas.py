@@ -334,3 +334,45 @@ def test_fuse_stages_guards():
     # Open-loop always disables the (feedback-only) fused stage kernel.
     ol = dataclasses.replace(params, open_loop=True)
     assert _resolve_fuse_for(ol, True, flagship.dynamics) is False
+
+
+def test_sweep_merit_backends_agree(setup, monkeypatch):
+    """The emit+XLA merit path (production default) and the in-kernel
+    accumulation (ILQ_SWEEP_MERIT=kernel escape hatch) compute the same
+    formula in the same fold order — pin them against each other on a
+    mid-solve state so the escape hatch cannot rot."""
+    from ilqgames_tpu.ops.pallas import sweep as sweep_mod
+
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+
+    fc = _init_ref(problem, x0b)
+    for _ in range(2):
+        fc = jax.jit(jax.vmap(
+            lambda x0, f: fused._trip(dyn, costs, spec, params, x0, f)
+        ))(x0b, fc)
+    c = fc.c
+    # Build a real LQ strategy for the sweep via the scan-path pieces.
+    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+    from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
+    lqsol = solve_lq_feedback_pallas(
+        spec, lin, c.quad, x0b - c.op.xs[:, 0],
+        adaptive_regularization=params.adaptive_regularization,
+        batch_block=B, interpret=True)
+    gate = batched._extreme_gate_b(costs, spec, c.extreme_ks)
+    scalings = jnp.asarray([0.1, 0.05, 0.025, 0.0125], jnp.float32)
+
+    def run():
+        return sweep_mod.sweep_merits_pallas(
+            dyn, costs, spec, x0b, c.op, lqsol.strategy, scalings,
+            fc.al, gate, batch_block=B, interpret=True)
+
+    monkeypatch.setenv("ILQ_SWEEP_MERIT", "kernel")
+    m_kernel = np.asarray(run())
+    monkeypatch.setenv("ILQ_SWEEP_MERIT", "xla")
+    m_xla = np.asarray(run())
+    finite = np.isfinite(m_kernel)
+    assert finite.any()
+    np.testing.assert_allclose(m_xla[finite], m_kernel[finite],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.isfinite(m_xla), finite)
