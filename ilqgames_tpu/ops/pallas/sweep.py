@@ -49,16 +49,32 @@ def _time_block(n: int, cap: int = 16) -> int:
     return 1
 
 
-def _merit_in_kernel() -> bool:
-    """Escape hatch: ILQ_SWEEP_MERIT=kernel restores the in-kernel merit
-    accumulation. Default is the emit + XLA-merit split (below): the
-    cost-gradient content inside the Mosaic kernel hits an unpredictable
-    ~100 us/knot scheduling cliff (tools/sweep_floor5b-h.txt: a 2-segment
-    polyline query costs 0.49 us/knot, the 6-segment one 105; 1-player
-    quadratics 0.5, 2-player 101 — no stable invariant), while the same
-    math under plain XLA over emitted candidate trajectories costs
-    ~2.5 us/knot/block INCLUDING the emit (tools/sweep_floor5i.txt)."""
-    return os.environ.get("ILQ_SWEEP_MERIT", "xla") == "kernel"
+def _resolve_merit_backend(merit_backend=None) -> str:
+    """Resolve the sweep-merit backend: "xla" (default — emit candidate
+    trajectories, compute merits in plain XLA) or "kernel" (in-kernel
+    accumulation). `None` falls back to the ILQ_SWEEP_MERIT env var.
+
+    Why "xla" is the default: the cost-gradient content inside the
+    Mosaic kernel hits an unpredictable ~100 us/knot scheduling cliff
+    (tools/sweep_floor5b-h.txt: a 2-segment polyline query costs
+    0.49 us/knot, the 6-segment one 105; 1-player quadratics 0.5,
+    2-player 101 — no stable invariant), while the same math under
+    plain XLA over emitted candidate trajectories costs ~2.5 us/knot/
+    block INCLUDING the emit (tools/sweep_floor5i.txt).
+
+    The backend is threaded as an explicit STATIC argument through the
+    sweep entry points so it participates in every jit cache key; when
+    left as `None` the env var is read at trace time, so flipping
+    ILQ_SWEEP_MERIT mid-process has no effect on already-traced
+    solvers — set it before first use, or pass `merit_backend`
+    explicitly."""
+    if merit_backend is None:
+        merit_backend = os.environ.get("ILQ_SWEEP_MERIT", "xla")
+    if merit_backend not in ("xla", "kernel"):
+        raise ValueError(
+            f"merit_backend must be 'xla' or 'kernel', got "
+            f"{merit_backend!r}")
+    return merit_backend
 
 
 # Scoped-VMEM budget for the sweep kernel's RESIDENT arrays (operand +
@@ -415,7 +431,8 @@ def _xla_merits(player_costs, spec: GameSpec, xs_cand, us_cand, t0_bm,
     control terms always, state terms for k > 0, accumulated in
     ascending k via lax.scan. The per-knot math is embarrassingly
     parallel — it never needed to live inside the sequential rollout
-    kernel, where Mosaic schedules it ~50x slower (_merit_in_kernel)."""
+    kernel, where Mosaic schedules it ~50x slower
+    (_resolve_merit_backend)."""
     N = spec.num_time_steps
     P = spec.num_players
     u = spec.umax
@@ -468,10 +485,11 @@ def _xla_merits(player_costs, spec: GameSpec, xs_cand, us_cand, t0_bm,
 
 
 def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
-                 lamS, lamC, mu, gate, batch_block, interpret):
+                 lamS, lamC, mu, gate, batch_block, interpret,
+                 merit_backend="xla"):
     """One candidate-chunk of raw merits [Cc, B], emit + XLA split (or
-    the in-kernel path under ILQ_SWEEP_MERIT=kernel)."""
-    if _merit_in_kernel():
+    the in-kernel path under merit_backend="kernel")."""
+    if merit_backend == "kernel":
         (merits,) = _run(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
             lamC, mu, gate, compute_merit=True, emit_traj=False,
@@ -520,6 +538,7 @@ def sweep_merits_bm(
     batch_block: int = 128,
     interpret: bool = False,
     cand_chunk: int = 8,
+    merit_backend: str = None,
 ) -> jnp.ndarray:
     """Raw batch-minor merit sweep: [C, B] (0.5 * gated squared stage
     gradients; see sweep_merits_pallas). A 2-D `scalings` gives every
@@ -527,7 +546,8 @@ def sweep_merits_bm(
     per-lane windows); the kernel consumes [C, B] either way."""
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
-    in_kernel = _merit_in_kernel()
+    merit_backend = _resolve_merit_backend(merit_backend)
+    in_kernel = merit_backend == "kernel"
     Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block,
                          nS=(lamS.shape[1] if (in_kernel and lamS
                                                is not None) else 0),
@@ -543,7 +563,8 @@ def sweep_merits_bm(
                 scalings[c0:c0 + Cc, None], (Cc, B))
         parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
-            lamC, mu, gate, batch_block, interpret))
+            lamC, mu, gate, batch_block, interpret,
+            merit_backend=merit_backend))
     return 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
 
 
@@ -586,12 +607,41 @@ def rollout_pallas(
     return OperatingPoint(xs=xs, us=us, t0=last_op.t0)
 
 
+def sweep_merits_pallas(
+    dyn,
+    player_costs,
+    spec,
+    x0,
+    last_op,
+    strategy,
+    scalings,
+    al_state,
+    extreme_gate,
+    batch_block: int = 128,
+    interpret: bool = False,
+    cand_chunk: int = 8,
+    merit_backend: str = None,
+):
+    """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
+    gated stage gradients along each candidate's rollout). See
+    `_sweep_merits_pallas_jit`; this wrapper resolves `merit_backend`
+    (None -> ILQ_SWEEP_MERIT env var, default "xla") BEFORE the jitted
+    core so the backend is part of the jit cache key — passing it
+    explicitly always takes effect, even after the other backend has
+    been traced in this process."""
+    return _sweep_merits_pallas_jit(
+        dyn, player_costs, spec, x0, last_op, strategy, scalings,
+        al_state, extreme_gate, batch_block=batch_block,
+        interpret=interpret, cand_chunk=cand_chunk,
+        merit_backend=_resolve_merit_backend(merit_backend))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dyn", "player_costs", "spec", "batch_block",
-                     "interpret", "cand_chunk"),
+                     "interpret", "cand_chunk", "merit_backend"),
 )
-def sweep_merits_pallas(
+def _sweep_merits_pallas_jit(
     dyn,
     player_costs,
     spec: GameSpec,
@@ -604,12 +654,18 @@ def sweep_merits_pallas(
     batch_block: int = 128,
     interpret: bool = False,
     cand_chunk: int = 8,
+    merit_backend: str = "xla",
 ) -> jnp.ndarray:
     """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
-    gated stage gradients along each candidate's rollout). No trajectory
-    emission — the selected candidate is re-rolled by `rollout_pallas`
-    with per-lane `scal` (an in-kernel rollout costs ~0.4 ms/block, far
-    below the HBM cost of emitting every candidate's trajectory).
+    gated stage gradients along each candidate's rollout).
+
+    Under the default merit_backend="xla", the kernel EMITS every
+    candidate's [N,x,C,B]/[N,Pu,C,B] trajectory per chunk and the merit
+    math runs in plain XLA over the emitted arrays (_xla_merits) —
+    measured faster end-to-end than keeping the cost gradients inside
+    the Mosaic kernel (see _resolve_merit_backend). "kernel" restores
+    the no-emission in-kernel accumulation, where the selected candidate
+    is later re-rolled by `rollout_pallas` with per-lane `scal`.
 
     Candidates are processed in equal sublane-aligned chunks: one kernel
     shape -> ONE Mosaic compile, reused across chunks (a single very wide
@@ -624,7 +680,7 @@ def sweep_merits_pallas(
     C = scalings.shape[-1] if scalings.ndim == 2 else scalings.shape[0]
     lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
-    in_kernel = _merit_in_kernel()
+    in_kernel = merit_backend == "kernel"
     Cc = _fit_cand_chunk(spec, C=C, Bb=Bb,
                          nS=(lamS.shape[1] if (in_kernel and lamS
                                                is not None) else 0),
@@ -640,7 +696,7 @@ def sweep_merits_pallas(
                 scalings[c0:c0 + Cc, None], (Cc, B))
         parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC,
-            mu, gate, Bb, interpret))
+            mu, gate, Bb, interpret, merit_backend=merit_backend))
     return 0.5 * mb(jnp.concatenate(parts, axis=0), Bt)  # [Bt, C]
 
 

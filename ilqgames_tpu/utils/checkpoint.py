@@ -45,7 +45,20 @@ def reshard(tree: Any, mesh) -> Any:
 
     from ilqgames_tpu.parallel.mesh import BATCH_AXIS
 
-    B = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    B = leaves[0].shape[0] if leaves and jnp.ndim(leaves[0]) else None
+    if B is None:
+        raise ValueError("reshard needs a pytree of batched arrays "
+                         "(leading axis = batch); got a scalar first leaf")
+    # Validate EVERY leaf up front: a scalar or unbatched aux leaf would
+    # otherwise shard the wrong axis / die in an opaque device_put error.
+    for (path, leaf) in paths:
+        if jnp.ndim(leaf) < 1 or leaf.shape[0] != B:
+            raise ValueError(
+                f"reshard: leaf {jax.tree_util.keystr(path)} has shape "
+                f"{jnp.shape(leaf)}; every leaf must carry the batch "
+                f"axis (leading dim {B}) to be sharded over the mesh")
     n_dev = mesh.devices.size
     if B % n_dev != 0:
         raise ValueError(

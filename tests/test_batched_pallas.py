@@ -336,11 +336,15 @@ def test_fuse_stages_guards():
     assert _resolve_fuse_for(ol, True, flagship.dynamics) is False
 
 
-def test_sweep_merit_backends_agree(setup, monkeypatch):
+def test_sweep_merit_backends_agree(setup):
     """The emit+XLA merit path (production default) and the in-kernel
     accumulation (ILQ_SWEEP_MERIT=kernel escape hatch) compute the same
     formula in the same fold order — pin them against each other on a
-    mid-solve state so the escape hatch cannot rot."""
+    mid-solve state so the escape hatch cannot rot. The backend is
+    passed as the EXPLICIT static argument (not the env var): it is part
+    of the jit cache key, so both backends genuinely trace and run —
+    the env-var version of this test silently compared one backend
+    against its own jit-cached self (advisor r4, medium)."""
     from ilqgames_tpu.ops.pallas import sweep as sweep_mod
 
     problem, params, x0b = setup
@@ -362,15 +366,14 @@ def test_sweep_merit_backends_agree(setup, monkeypatch):
     gate = batched._extreme_gate_b(costs, spec, c.extreme_ks)
     scalings = jnp.asarray([0.1, 0.05, 0.025, 0.0125], jnp.float32)
 
-    def run():
+    def run(backend):
         return sweep_mod.sweep_merits_pallas(
             dyn, costs, spec, x0b, c.op, lqsol.strategy, scalings,
-            fc.al, gate, batch_block=B, interpret=True)
+            fc.al, gate, batch_block=B, interpret=True,
+            merit_backend=backend)
 
-    monkeypatch.setenv("ILQ_SWEEP_MERIT", "kernel")
-    m_kernel = np.asarray(run())
-    monkeypatch.setenv("ILQ_SWEEP_MERIT", "xla")
-    m_xla = np.asarray(run())
+    m_kernel = np.asarray(run("kernel"))
+    m_xla = np.asarray(run("xla"))
     finite = np.isfinite(m_kernel)
     assert finite.any()
     np.testing.assert_allclose(m_xla[finite], m_kernel[finite],

@@ -105,3 +105,25 @@ def test_checkpoint_resume_on_different_mesh(tmp_path):
     np.testing.assert_allclose(np.asarray(res.total_costs),
                                np.asarray(ref.total_costs),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_reshard_rejects_unbatched_leaves():
+    """reshard validates every leaf carries the batch axis up front
+    (advisor r4: a scalar/unbatched aux leaf previously sharded the
+    wrong axis or died in an opaque device_put error)."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from ilqgames_tpu.utils import checkpoint
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:2]), (pmesh.BATCH_AXIS,))
+    good = {"a": jnp.zeros((4, 3)), "b": jnp.ones((4,))}
+    out = checkpoint.reshard(good, mesh2)
+    assert len(out["a"].sharding.device_set) == 2
+
+    with pytest.raises(ValueError, match="batch axis"):
+        checkpoint.reshard({"a": jnp.zeros((4, 3)),
+                            "mu": jnp.float32(10.0)}, mesh2)
+    with pytest.raises(ValueError, match="batch axis"):
+        checkpoint.reshard({"a": jnp.zeros((4, 3)),
+                            "aux": jnp.zeros((3, 4))}, mesh2)
