@@ -649,11 +649,13 @@ def _pad_args(args, m):
     return tuple(jax.tree_util.tree_map(pad1, a) for a in args), Bt
 
 
-def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
-                 batch_block, interpret, mesh, fuse_stages=False):
-    """Shared host-stepped driver: `init(*args) -> _FusedCarry` (args[0]
-    must be x0_b), then trips_per_call masked trips per dispatch until
-    every lane is done. Optionally shard_mapped over a 1-D mesh."""
+def _driver_parts(dyn, player_costs, spec, params, trips_per_call,
+                  batch_block, interpret, fuse_stages=False):
+    """The three device programs shared by every host-stepped driver:
+    (trip-pack `steps`, `finalize`, `constrained` flag). Pure code
+    motion out of _make_driver so the wave-refill queue driver below
+    reuses the IDENTICAL per-lane programs (bitwise parity with the
+    plain driver is pinned by tests/test_batched_pallas.py)."""
     constrained = pcost.is_constrained(player_costs)
 
     if constrained:
@@ -717,6 +719,18 @@ def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
             converged=conv, max_violation=fv,
             cumulative_iterations=fc.cum_iters, al_state=fc.al,
         )
+
+    return steps, finalize, constrained
+
+
+def _make_driver(dyn, player_costs, spec, params, init, trips_per_call,
+                 batch_block, interpret, mesh, fuse_stages=False):
+    """Shared host-stepped driver: `init(*args) -> _FusedCarry` (args[0]
+    must be x0_b), then trips_per_call masked trips per dispatch until
+    every lane is done. Optionally shard_mapped over a 1-D mesh."""
+    steps, finalize, _ = _driver_parts(
+        dyn, player_costs, spec, params, trips_per_call, batch_block,
+        interpret, fuse_stages=fuse_stages)
 
     if mesh is not None:
         from jax import shard_map
@@ -831,3 +845,142 @@ def make_host_batched_warm_solver(dyn, player_costs, spec, params,
     return _make_driver(dyn, player_costs, spec, params, init,
                         trips_per_call, batch_block, interpret, mesh,
                         fuse_stages=fuse_stages)
+
+
+def make_host_batched_queue_solver(dyn, player_costs, spec, params,
+                                   warm_op=None, warm_strategy=None,
+                                   device_batch: int = 1024,
+                                   trips_per_call: int = 10,
+                                   batch_block: int = 128,
+                                   interpret: bool = False,
+                                   fuse_stages: Optional[bool] = None):
+    """Wave-refill batched solve: keeps `device_batch` lanes hot by
+    retiring finished lanes and refilling them from the pending
+    instance queue, so device throughput tracks the MEAN iteration
+    count (~84 on the flagship) instead of the batch max (~109 — the
+    deep diverged-tail lanes previously left every finished lane idle
+    until the last lane's final trip). fn(x0 [B_total, xdim]) ->
+    ALResult for all instances, in order.
+
+    Per-instance results are bitwise IDENTICAL to
+    make_host_batched_solver: the device programs are the same
+    (_driver_parts), every kernel is lane-elementwise (cross-lane
+    coupling exists only in selection-invariant control flow — the
+    compact deep ladder's packing order and the any-lane reinit cond,
+    both of which select per-lane values computed from per-lane data),
+    and a refilled lane's carry is initialized exactly as lane 0 of a
+    fresh solve. Pinned by tests/test_batched_pallas.py.
+
+    Mechanics: harvest/refill happens in fixed `batch_block`-sized
+    chunks (one compiled shape for every gather/scatter/init program);
+    harvested results are scattered into an on-device result buffer
+    (no per-chunk host transfer — the axon tunnel's bandwidth would
+    otherwise eat the gain). Ragged final chunks are padded with
+    duplicate lanes (harmless: gathers re-read, scatters re-write the
+    same rows); lanes with no pending instance left retire with
+    done=True so they freeze instead of solving junk."""
+    import numpy as np
+
+    fuse_stages = _resolve_fuse_for(params, fuse_stages, dyn)
+    if warm_op is None:
+        warm_op = OperatingPoint.zeros(spec)
+    if warm_strategy is None:
+        warm_strategy = Strategy.zeros(spec)
+
+    steps, finalize, _ = _driver_parts(
+        dyn, player_costs, spec, params, trips_per_call, batch_block,
+        interpret, fuse_stages=fuse_stages)
+
+    def init(x0_b):
+        Bt = x0_b.shape[0]
+        al0 = jax.vmap(
+            lambda _: pcost.ALState.init(player_costs, spec)
+        )(jnp.arange(Bt))
+        bc = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (Bt,) + a.shape), t
+        )
+        return _carry0(dyn, player_costs, spec, x0_b, bc(warm_op),
+                       bc(warm_strategy), al0, batch_block, interpret,
+                       fuse_stages=fuse_stages)
+
+    init_j = jax.jit(init)
+    steps_j = jax.jit(steps)
+    finalize_j = jax.jit(finalize)
+    tmap = jax.tree_util.tree_map
+    gather_rows = jax.jit(lambda t, idx: tmap(lambda a: a[idx], t))
+    scatter_rows = jax.jit(
+        lambda buf, sub, idx: tmap(lambda b, s: b.at[idx].set(s),
+                                   buf, sub))
+
+    def _refill(fc, x0d, sub_fc, x0_new, lanes, keep):
+        fc2 = tmap(lambda a, b: a.at[lanes].set(b), fc, sub_fc)
+        # Retired pad lanes (no pending instance) freeze as done.
+        fc2 = fc2.replace(done=fc2.done.at[lanes].set(~keep))
+        return fc2, x0d.at[lanes].set(x0_new)
+
+    refill_j = jax.jit(_refill)
+
+    H = batch_block
+
+    def run(x0_all):
+        x0_all = jnp.asarray(x0_all)
+        Btot = x0_all.shape[0]
+        D = min(-(-device_batch // H) * H, -(-Btot // H) * H)
+        n0 = min(D, Btot)
+        slot_inst = np.full((D,), -1, np.int64)
+        slot_inst[:n0] = np.arange(n0)
+        x0d = jnp.concatenate(
+            [x0_all[:n0],
+             jnp.broadcast_to(x0_all[:1], (D - n0, x0_all.shape[1]))]
+        ) if D > n0 else x0_all[:D]
+        next_i = n0
+        harvested = np.zeros((Btot,), bool)
+        buf = None
+        fc = init_j(x0d)
+        if D > n0:
+            fc = fc.replace(done=fc.done.at[jnp.arange(n0, D)].set(True))
+
+        while not harvested.all():
+            fc = steps_j(x0d, fc)
+            done = np.asarray(fc.done)
+            out = None
+            while True:
+                elig = np.nonzero(done & (slot_inst >= 0))[0]
+                pending = next_i < Btot
+                if not (len(elig) >= H or (not pending and len(elig))):
+                    break
+                if out is None:
+                    out = finalize_j(fc)
+                lanes = elig[:H]
+                n = len(lanes)
+                lanes_p = (np.concatenate([lanes,
+                                           np.full(H - n, lanes[0])])
+                           if n < H else lanes)
+                inst = slot_inst[lanes]
+                inst_p = (np.concatenate([inst, np.full(H - n, inst[0])])
+                          if n < H else inst)
+                sub = gather_rows(out, jnp.asarray(lanes_p))
+                if buf is None:
+                    buf = tmap(
+                        lambda a: jnp.zeros((Btot,) + a.shape[1:],
+                                            a.dtype), sub)
+                buf = scatter_rows(buf, sub, jnp.asarray(inst_p))
+                harvested[inst] = True
+                # Refill the freed lanes from the pending queue.
+                k = min(n, Btot - next_i)
+                new_inst = np.arange(next_i, next_i + k)
+                next_i += k
+                keep = np.zeros((H,), bool)
+                keep[:k] = True
+                fill = np.concatenate(
+                    [new_inst, np.zeros(H - k, np.int64)])
+                x0_new = x0_all[jnp.asarray(fill)]
+                sub_fc = init_j(x0_new)
+                fc, x0d = refill_j(fc, x0d, sub_fc, x0_new,
+                                   jnp.asarray(lanes_p),
+                                   jnp.asarray(keep))
+                slot_inst[lanes] = np.where(keep[:n], fill[:n], -1)
+                done = np.asarray(fc.done)
+        return buf
+
+    return run

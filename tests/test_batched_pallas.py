@@ -379,3 +379,41 @@ def test_sweep_merit_backends_agree(setup):
     np.testing.assert_allclose(m_xla[finite], m_kernel[finite],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.isfinite(m_xla), finite)
+
+
+def test_queue_solver_matches_plain(setup):
+    """Wave-refill queue solver == plain batched solver, per instance,
+    BITWISE. Instances are lane-elementwise throughout the machine, so
+    which lane (and which refill wave) an instance rides must not
+    change its arithmetic; 10 instances through 4 device lanes
+    (block=2) exercises initial fill, mid-run refill chunks, the
+    ragged final chunk, and lane retirement."""
+    problem, params, _ = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+    rng = np.random.RandomState(3)
+    Btot = 10
+    x0b = jnp.asarray(
+        np.tile(np.asarray(problem.x0)[None], (Btot, 1))
+        + 0.1 * rng.randn(Btot, spec.xdim).astype(np.float32)
+    )
+    p = dataclasses.replace(params, max_solver_iters=12)
+
+    run_plain = batched.make_host_batched_solver(
+        dyn, costs, spec, p, trips_per_call=3, batch_block=2,
+        interpret=True,
+    )
+    run_queue = batched.make_host_batched_queue_solver(
+        dyn, costs, spec, p, device_batch=4, trips_per_call=3,
+        batch_block=2, interpret=True,
+    )
+    res_p = run_plain(x0b)
+    res_q = run_queue(x0b)
+    for name in ("converged", "cumulative_iterations", "max_violation",
+                 "total_costs"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_q, name)),
+            np.asarray(getattr(res_p, name)), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(res_q.op.xs),
+                                  np.asarray(res_p.op.xs))
+    np.testing.assert_array_equal(np.asarray(res_q.strategy.alphas),
+                                  np.asarray(res_p.strategy.alphas))
