@@ -70,9 +70,9 @@ def _resolve_merit_backend(merit_backend=None) -> str:
     explicitly."""
     if merit_backend is None:
         merit_backend = os.environ.get("ILQ_SWEEP_MERIT", "xla")
-    if merit_backend not in ("xla", "kernel"):
+    if merit_backend not in ("xla", "kernel", "pallas"):
         raise ValueError(
-            f"merit_backend must be 'xla' or 'kernel', got "
+            f"merit_backend must be 'xla', 'kernel' or 'pallas', got "
             f"{merit_backend!r}")
     return merit_backend
 
@@ -144,6 +144,33 @@ def _fit_cand_chunk(spec, *, C, Bb, nS, nC, cap, emit_traj=False):
     return 1
 
 
+def _make_grads_cb(player_costs, spec):
+    """Double-vmapped per-player SQUARED-gradient sums over state-major
+    [x, C, B] layouts (candidates on axis 1), as TUPLES of P [C, B]
+    scalars. Squared sums come straight from sparse gradient pairs —
+    assembling dense [P, xd] gradients in-kernel just to square them
+    cost ~66 vreg copies per knot (tools/grads_floor3.txt). Tuple
+    (unstacked) outputs: a stacked [P] core output vmaps into a
+    lane-minor [C, B, P] concatenate + two cross-lane transposes per
+    knot that Mosaic lowers at ~100 us/knot — 375x the cost of the
+    gradient math itself (tools/sweep_floor5*.txt)."""
+    def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
+        def core(tt, xx, uu, ls, lc, m):
+            return pcost.stage_gradient_sq_tuple(
+                player_costs, spec, ls, lc, m, tt, xx, uu
+            )
+
+        # Scalar leaves: inner vmap appends B (-1 -> [B]), outer
+        # prepends C (0 -> [C, B]).
+        inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
+                         out_axes=-1)
+        outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
+                         out_axes=0)
+        return outer(t, x_cb, us_cb, lamS, lamC, mu)
+
+    return grads_cb
+
+
 def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                  nC: int, compute_merit: bool, emit_traj: bool, N: int):
     P = spec.num_players
@@ -161,30 +188,7 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         n_cc = [len(pc.control_constraints) for pc in player_costs]
         sc_off = np.cumsum([0] + n_sc)
         cc_off = np.cumsum([0] + n_cc)
-
-        def grads_cb(t, x_cb, us_cb, lamS, lamC, mu):
-            """Double-vmapped per-player SQUARED-gradient sums over
-            state-major [x, C, B] layouts (candidates on axis 1), as
-            TUPLES of P [C, B] scalars. Squared sums come straight from
-            sparse gradient pairs — assembling dense [P, xd] gradients
-            in-kernel just to square them cost ~66 vreg copies per knot
-            (tools/grads_floor3.txt). Tuple (unstacked) outputs: a
-            stacked [P] core output vmaps into a lane-minor [C, B, P]
-            concatenate + two cross-lane transposes per knot that Mosaic
-            lowers at ~100 us/knot — 375x the cost of the gradient math
-            itself (tools/sweep_floor5*.txt)."""
-            def core(tt, xx, uu, ls, lc, m):
-                return pcost.stage_gradient_sq_tuple(
-                    player_costs, spec, ls, lc, m, tt, xx, uu
-                )
-
-            # Scalar leaves: inner vmap appends B (-1 -> [B]), outer
-            # prepends C (0 -> [C, B]).
-            inner = jax.vmap(core, in_axes=(0, -1, -1, -1, -1, 0),
-                             out_axes=-1)
-            outer = jax.vmap(inner, in_axes=(None, 1, 2, None, None, None),
-                             out_axes=0)
-            return outer(t, x_cb, us_cb, lamS, lamC, mu)
+        grads_cb = _make_grads_cb(player_costs, spec)
 
     def integ_cb(t, x_cb, us_cb):
         """RK4 step on [x, C, B] state / [P, u, C, B] controls. The
@@ -384,6 +388,129 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
     return outs
 
 
+def _make_merit_consumer_kernel(player_costs, spec: GameSpec, C: int,
+                                nS: int, nC: int, N: int):
+    """Reduce-style merit kernel over EMITTED candidate trajectories:
+    reads xs [N,x,C,B] / us [N,Pu,C,B] (the `_run(emit_traj=True)`
+    outputs) and accumulates the gated squared-gradient merit [C,B] —
+    the in-kernel merit math of `_make_kernel`, minus the sequential
+    rollout. Motivation (VERDICT r4 #7): XLA consumption of
+    pallas-emitted MB-scale buffers pays ~1 ms/MB (+1.8 ms base;
+    tools/kernel_profile6*.txt), while pallas->pallas handoffs and
+    reduce-style consumers are exempt — this kernel is the one untested
+    corner of that design space. Measured result: tools/ (round 5)."""
+    P = spec.num_players
+    x = spec.xdim
+    u = spec.umax
+    Pu = P * u
+    dt = spec.dt
+    n_sc = [len(pc.state_constraints) for pc in player_costs]
+    n_cc = [len(pc.control_constraints) for pc in player_costs]
+    sc_off = np.cumsum([0] + n_sc)
+    cc_off = np.cumsum([0] + n_cc)
+    grads_cb = _make_grads_cb(player_costs, spec)
+
+    def kernel(*refs):
+        it = iter(refs)
+        xs_ref = next(it)                       # [N, x, C, Bb]
+        us_ref = next(it)                       # [N, Pu, C, Bb]
+        gate_ref = next(it)                     # [N, P, Bb]
+        lamS_ref = next(it) if nS > 0 else None
+        lamC_ref = next(it) if nC > 0 else None
+        mu_ref = next(it)                       # [1, Bb]
+        t0_ref = next(it)                       # [1, Bb]
+        merit_ref = next(it)                    # [C, Bb]
+
+        merit_ref[...] = jnp.zeros_like(merit_ref)
+
+        def step(k, _):
+            x_c = xs_ref[pl.ds(k, 1)][0]        # [x, C, B]
+            us_flat = us_ref[pl.ds(k, 1)][0]    # [Pu, C, B]
+            B_ = x_c.shape[-1]
+            us_cb = us_flat.reshape(P, u, C, B_)
+            t = t0_ref[0] + k.astype(jnp.float32) * dt
+            lamS = tuple(
+                lamS_ref[pl.ds(k, 1)][0, sc_off[p_]:sc_off[p_ + 1]]
+                for p_ in range(P)
+            ) if nS > 0 else tuple(
+                jnp.zeros((0, B_), jnp.float32) for _ in range(P))
+            lamC = tuple(
+                lamC_ref[pl.ds(k, 1)][0, cc_off[p_]:cc_off[p_ + 1]]
+                for p_ in range(P)
+            ) if nC > 0 else tuple(
+                jnp.zeros((0, B_), jnp.float32) for _ in range(P))
+            mu = mu_ref[0]
+            s_cb, r_cb = grads_cb(t, x_c, us_cb, lamS, lamC, mu)
+            gate_k = gate_ref[pl.ds(k, 1)][0]
+            state_term = s_cb[0] * gate_k[0][None, :]
+            for p_ in range(1, P):
+                state_term = state_term + s_cb[p_] * gate_k[p_][None, :]
+            ctrl_term = r_cb[0]
+            for p_ in range(1, P):
+                ctrl_term = ctrl_term + r_cb[p_]
+            inc = ctrl_term + jnp.where(k > 0, state_term, 0.0)
+            merit_ref[...] = merit_ref[...] + inc
+            return 0
+
+        jax.lax.fori_loop(0, N, step, 0)
+
+    return kernel
+
+
+def _pallas_merits(player_costs, spec, xs_cand, us_cand, t0_bm,
+                   lamS, lamC, mu, gate, batch_block, interpret):
+    """Merits [C, B] from emitted candidate trajectories via the
+    reduce-style consumer kernel (merit_backend="pallas")."""
+    N = spec.num_time_steps
+    P = spec.num_players
+    x = spec.xdim
+    Pu = P * spec.umax
+    C = xs_cand.shape[2]
+    B = xs_cand.shape[-1]
+    Bb = batch_block
+    nb = B // Bb
+    nS = lamS.shape[1] if lamS is not None else 0
+    nC = lamC.shape[1] if lamC is not None else 0
+
+    whole3 = lambda b: (0, 0, b)
+    whole4 = lambda b: (0, 0, 0, b)
+    res = lambda b: (0, b)
+
+    in_specs = [
+        pl.BlockSpec((N, x, C, Bb), whole4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, Pu, C, Bb), whole4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, P, Bb), whole3, memory_space=pltpu.VMEM),
+    ]
+    operands = [xs_cand, us_cand, gate]
+    if nS > 0:
+        in_specs.append(pl.BlockSpec((N, nS, Bb), whole3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(lamS)
+    if nC > 0:
+        in_specs.append(pl.BlockSpec((N, nC, Bb), whole3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(lamC)
+    in_specs.append(pl.BlockSpec((1, Bb), res, memory_space=pltpu.VMEM))
+    operands.append(mu if mu is not None
+                    else jnp.zeros((1, B), jnp.float32))
+    in_specs.append(pl.BlockSpec((1, Bb), res, memory_space=pltpu.VMEM))
+    operands.append(t0_bm)
+
+    kern = _make_merit_consumer_kernel(player_costs, spec, C, nS, nC, N)
+    (merits,) = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((C, Bb), res, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((C, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return merits
+
+
 def _prep_common(spec, x0, last_op, strategy, Bb):
     """Batch-major containers -> padded batch-minor operand dicts."""
     N = spec.num_time_steps
@@ -501,6 +628,10 @@ def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
         None, compute_merit=False, emit_traj=True,
         batch_block=batch_block, interpret=interpret,
     )
+    if merit_backend == "pallas":
+        return _pallas_merits(player_costs, spec, xs_cand, us_cand,
+                              op_bm["t0"], lamS, lamC, mu, gate,
+                              batch_block, interpret)
     return _xla_merits(player_costs, spec, xs_cand, us_cand,
                        op_bm["t0"], lamS, lamC, mu, gate)
 

@@ -374,11 +374,17 @@ def test_sweep_merit_backends_agree(setup):
 
     m_kernel = np.asarray(run("kernel"))
     m_xla = np.asarray(run("xla"))
+    m_pallas = np.asarray(run("pallas"))
     finite = np.isfinite(m_kernel)
     assert finite.any()
     np.testing.assert_allclose(m_xla[finite], m_kernel[finite],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.isfinite(m_xla), finite)
+    # The reduce-style pallas consumer (emit + in-pallas merit) shares
+    # the in-kernel fold order exactly.
+    np.testing.assert_allclose(m_pallas[finite], m_kernel[finite],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.isfinite(m_pallas), finite)
 
 
 def test_queue_solver_matches_plain(setup):
