@@ -105,17 +105,27 @@ def _throughput(problem, params, B, batch_block=128, trips_per_call=20,
     # (baselines/measured.json final_costs; its violation machinery:
     # src/augmented_lagrangian_solver.cpp:116-140).
     mv = np.asarray(res.max_violation)
+    costs = np.asarray(res.total_costs)
     stats = dict(
         B=B, wall_s=round(dt, 2),
         converged=round(float(jnp.mean(res.converged.astype(jnp.float32))), 4),
         mean_iters=round(float(jnp.mean(
             res.cumulative_iterations.astype(jnp.float32))), 1),
-        viol_p50=round(float(np.percentile(mv, 50)), 4),
-        viol_p95=round(float(np.percentile(mv, 95)), 4),
-        viol_max=round(float(mv.max()), 4),
-        mean_costs=[round(float(c), 1)
-                    for c in np.asarray(res.total_costs).mean(axis=0)],
+        # Medians/percentiles, not means: a single diverged lane (the
+        # reference's own failure mode on several of these configs —
+        # baselines/measured.json) makes a mean meaningless.
+        cost_p50=[round(float(c), 1)
+                  for c in np.percentile(costs, 50, axis=0)],
+        cost_p95=[round(float(c), 1)
+                  for c in np.percentile(costs, 95, axis=0)],
+        diverged_frac=round(float((costs.max(axis=1) > 1e6).mean()), 4),
     )
+    if np.isfinite(mv).any():  # unconstrained problems have no violation
+        stats.update(
+            viol_p50=round(float(np.percentile(mv, 50)), 4),
+            viol_p95=round(float(np.percentile(mv, 95)), 4),
+            viol_max=round(float(mv.max()), 4),
+        )
     return B / dt, stats
 
 

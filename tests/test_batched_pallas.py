@@ -21,6 +21,8 @@ from ilqgames_tpu.solver import batched, fused, ilq
 from ilqgames_tpu.solver.params import SolverParams
 from ilqgames_tpu.types import OperatingPoint, Strategy
 
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
+
 B = 4
 N = 11
 

@@ -11,6 +11,8 @@ import pytest
 import ilqgames_tpu.examples as examples
 from ilqgames_tpu.solver.params import SolverParams
 
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
+
 # The shipped exec mains' parameters (exec/three_player_intersection/
 # main.cpp:110-121), which differ substantially from SolverParams defaults.
 EXEC_PARAMS = SolverParams(

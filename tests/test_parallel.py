@@ -9,6 +9,9 @@ import numpy as np
 from ilqgames_tpu.examples.three_player_intersection import make_problem
 from ilqgames_tpu.parallel import mesh as pmesh
 from ilqgames_tpu.solver.params import SolverParams
+import pytest
+
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
 
 PARAMS = SolverParams(
     max_solver_iters=6,

@@ -34,6 +34,8 @@ import pytest
 from ilqgames_tpu.examples.three_player_intersection import make_problem
 from ilqgames_tpu.solver.params import SolverParams
 
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
+
 HERE = os.path.dirname(__file__)
 BASELINES = os.path.join(HERE, os.pardir, "baselines")
 

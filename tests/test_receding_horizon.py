@@ -8,6 +8,9 @@ from ilqgames_tpu.examples.three_player_flat_intersection import make_problem
 from ilqgames_tpu.runtime import receding_horizon as rh
 from ilqgames_tpu.solver.params import SolverParams
 from ilqgames_tpu.types import OperatingPoint, Strategy
+import pytest
+
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
 
 PARAMS = SolverParams(
     max_solver_iters=20,

@@ -10,6 +10,8 @@ import pytest
 import ilqgames_tpu.examples as examples
 from ilqgames_tpu.solver.params import SolverParams
 
+pytestmark = pytest.mark.slow  # full-solve / interpret-mode parity tier (~26 min total); fast gate: pytest -m "not slow"
+
 PARAMS = SolverParams(
     max_solver_iters=25,
     unconstrained_solver_max_iters=10,
