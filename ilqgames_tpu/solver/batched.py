@@ -905,22 +905,28 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
 
     init_j = jax.jit(init)
     steps_j = jax.jit(steps)
-    finalize_j = jax.jit(finalize)
     tmap = jax.tree_util.tree_map
-    gather_rows = jax.jit(lambda t, idx: tmap(lambda a: a[idx], t))
-    scatter_rows = jax.jit(
-        lambda buf, sub, idx: tmap(lambda b, s: b.at[idx].set(s),
-                                   buf, sub))
-
-    def _refill(fc, x0d, sub_fc, x0_new, lanes, keep):
-        fc2 = tmap(lambda a, b: a.at[lanes].set(b), fc, sub_fc)
-        # Retired pad lanes (no pending instance) freeze as done.
-        fc2 = fc2.replace(done=fc2.done.at[lanes].set(~keep))
-        return fc2, x0d.at[lanes].set(x0_new)
-
-    refill_j = jax.jit(_refill)
-
     H = batch_block
+
+    def _harvest_refill(fc, buf, x0d, lanes, inst, x0_new, keep):
+        """ONE dispatch per harvest chunk: finalize the H harvested
+        lanes (H-row shapes — not the full device batch), scatter their
+        results into the on-device buffer, init the replacement
+        instances, and swap them into the freed lanes. Folding the
+        five previous dispatches (full-batch finalize, gather, init,
+        scatter, refill) into one cut the ~5x 27 ms tunnel round trips
+        per chunk that erased the queue driver's gain in its first
+        TPU measurement (tools/bench_r5b.log: 67.0/s vs plain 68.1)."""
+        sub_fc = tmap(lambda a: a[lanes], fc)
+        res = finalize(sub_fc)
+        buf2 = tmap(lambda b, s: b.at[inst].set(s), buf, res)
+        new_c = init(x0_new)
+        fc2 = tmap(lambda a, b: a.at[lanes].set(b), fc, new_c)
+        # Retired lanes (no pending instance left) freeze as done.
+        fc2 = fc2.replace(done=fc2.done.at[lanes].set(~keep))
+        return fc2, buf2, x0d.at[lanes].set(x0_new)
+
+    harvest_j = jax.jit(_harvest_refill, donate_argnums=(0, 1, 2))
 
     def run(x0_all):
         x0_all = jnp.asarray(x0_all)
@@ -935,22 +941,31 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
         ) if D > n0 else x0_all[:D]
         next_i = n0
         harvested = np.zeros((Btot,), bool)
-        buf = None
         fc = init_j(x0d)
         if D > n0:
             fc = fc.replace(done=fc.done.at[jnp.arange(n0, D)].set(True))
+        # Result buffer allocated up front from finalize's output spec.
+        sub_spec = jax.eval_shape(lambda t: tmap(lambda a: a[:H], t), fc)
+        res_spec = jax.eval_shape(finalize, sub_spec)
+        buf = tmap(lambda s: jnp.zeros((Btot,) + s.shape[1:], s.dtype),
+                   res_spec)
+        stats = {"dispatches": 0, "harvests": 0}
 
+        # `done` is tracked host-side between device reads: steps_j is
+        # the only program that can newly finish a lane, so one read per
+        # steps dispatch suffices; harvest/refill updates it locally.
         while not harvested.all():
             fc = steps_j(x0d, fc)
-            done = np.asarray(fc.done)
-            out = None
+            stats["dispatches"] += 1
+            done = np.array(fc.done)  # writable copy (host-tracked)
             while True:
                 elig = np.nonzero(done & (slot_inst >= 0))[0]
                 pending = next_i < Btot
+                # Full chunks only while instances remain (refills keep
+                # every pad-row invariant trivial); ragged chunks occur
+                # only in the final drain, where every lane retires.
                 if not (len(elig) >= H or (not pending and len(elig))):
                     break
-                if out is None:
-                    out = finalize_j(fc)
                 lanes = elig[:H]
                 n = len(lanes)
                 lanes_p = (np.concatenate([lanes,
@@ -959,28 +974,23 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
                 inst = slot_inst[lanes]
                 inst_p = (np.concatenate([inst, np.full(H - n, inst[0])])
                           if n < H else inst)
-                sub = gather_rows(out, jnp.asarray(lanes_p))
-                if buf is None:
-                    buf = tmap(
-                        lambda a: jnp.zeros((Btot,) + a.shape[1:],
-                                            a.dtype), sub)
-                buf = scatter_rows(buf, sub, jnp.asarray(inst_p))
-                harvested[inst] = True
-                # Refill the freed lanes from the pending queue.
                 k = min(n, Btot - next_i)
                 new_inst = np.arange(next_i, next_i + k)
                 next_i += k
                 keep = np.zeros((H,), bool)
                 keep[:k] = True
-                fill = np.concatenate(
-                    [new_inst, np.zeros(H - k, np.int64)])
-                x0_new = x0_all[jnp.asarray(fill)]
-                sub_fc = init_j(x0_new)
-                fc, x0d = refill_j(fc, x0d, sub_fc, x0_new,
-                                   jnp.asarray(lanes_p),
-                                   jnp.asarray(keep))
+                fill = np.concatenate([new_inst,
+                                       np.zeros(H - k, np.int64)])
+                fc, buf, x0d = harvest_j(
+                    fc, buf, x0d, jnp.asarray(lanes_p),
+                    jnp.asarray(inst_p), x0_all[jnp.asarray(fill)],
+                    jnp.asarray(keep))
+                stats["harvests"] += 1
+                harvested[inst] = True
                 slot_inst[lanes] = np.where(keep[:n], fill[:n], -1)
-                done = np.asarray(fc.done)
+                done[lanes] = ~keep[:n]
+        run.last_stats = dict(stats)
         return buf
 
+    run.last_stats = None
     return run
