@@ -118,6 +118,7 @@ def main():
             warm_strategy=problem.initial_strategy(),
             device_batch=device_batch,
             trips_per_call=int(os.environ.get("BENCH_TPC", "10")),
+            harvest_block=int(os.environ.get("BENCH_HARVEST", "32")),
         )
         x0 = jnp.asarray(x0)
     else:
@@ -141,6 +142,8 @@ def main():
         res = solver(x0)
         jax.block_until_ready(res.op.xs)
     elapsed = (time.perf_counter() - t0) / reps
+    if queue_mode and getattr(solver, "last_stats", None):
+        print(f"# queue stats: {solver.last_stats}", flush=True)
 
     solves_per_sec_per_chip = batch / elapsed / n_chips
     baseline, ref_tail = _reference_baseline()

@@ -102,8 +102,10 @@ def _resident_bytes(spec, *, C, Bb, nS, nC, compute_merit, emit_traj):
         words += N * P + N * nS + N * nC + 1      # gate, lamS, lamC, mu
         words += C                                # merit out
     words += 1 + C + x                            # t0, scal, x0
-    if emit_traj:
-        words += N * C * x + N * C * Pu           # xs_out, us_out
+    if emit_traj:                                 # True or "xs"
+        words += N * C * x                        # xs_out
+    if emit_traj is True:
+        words += N * C * Pu                       # us_out
     words += x * C                                # xcur scratch
     return words * Bb * 4
 
@@ -218,7 +220,7 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
         x0_ref = next(it)
         merit_ref = next(it) if compute_merit else None
         xso_ref = next(it) if emit_traj else None
-        uso_ref = next(it) if emit_traj else None
+        uso_ref = next(it) if emit_traj is True else None
         xcur = next(it)  # scratch [x, C, Bb]
 
         xcur[...] = jnp.broadcast_to(
@@ -287,6 +289,7 @@ def _make_kernel(dyn, player_costs, spec: GameSpec, C: int, nS: int,
                 # the C=1 reroll pay 27 us/knot of relayout vs 1.8 for
                 # the reshape-free form (tools/sweep_floor5d/i.txt).
                 xso_ref[pl.ds(k, 1)] = x_c[None]
+            if emit_traj is True:
                 uso_ref[pl.ds(k, 1)] = us_flat[None]
 
             xcur[...] = integ_cb(t, x_c, us_cb)
@@ -364,6 +367,7 @@ def _run(dyn, player_costs, spec, x0, last_op, strategy, scal_cb,
         out_specs.append(pl.BlockSpec((N, x, C, Bb), whole4,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, x, C, B), jnp.float32))
+    if emit_traj is True:
         out_specs.append(pl.BlockSpec((N, Pu, C, Bb), whole4,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, Pu, C, B), jnp.float32))
@@ -611,9 +615,53 @@ def _xla_merits(player_costs, spec: GameSpec, xs_cand, us_cand, t0_bm,
     return merits
 
 
+def _us_from_xs(spec, xs_cand, op_bm, st_bm, scal_cb):
+    """Recompute every candidate's controls [N, Pu, C, B] from the
+    EMITTED states, in XLA, with the kernel's exact scalar fold order
+    (u[af] = u_ref[af] − (Σ_xx P[af,xx]·δ[xx]) − scal·α[af], left fold
+    over xx, then the u_mask multiply) — each output element is the
+    same f32 multiply/add chain as the in-kernel control law, so the
+    result is BITWISE identical to the kernel's emitted `us` (XLA does
+    not reassociate floating point). Lets the sweep emit states only:
+    the `us` third of the pallas-emitted bytes never crosses the
+    ~1 ms/MB XLA consumption tax (CLAUDE.md), it is rebuilt from
+    untaxed operands instead."""
+    N = spec.num_time_steps
+    x = spec.xdim
+    Pu = spec.num_players * spec.umax
+    u_mask_flat = np.zeros((Pu,), np.float32)
+    for i, d in enumerate(spec.udims):
+        u_mask_flat[i * spec.umax:i * spec.umax + d] = 1.0
+
+    delta = xs_cand - op_bm["xs"][:, :, None, :]          # [N, x, C, B]
+    Ps = st_bm["Ps"]                                      # [N, Pu, x, B]
+    al = st_bm["alphas"]                                  # [N, Pu, B]
+    us_rows = []
+    for af in range(Pu):
+        acc = Ps[:, af, 0, None, :] * delta[:, 0]
+        for xx in range(1, x):
+            acc = acc + Ps[:, af, xx, None, :] * delta[:, xx]
+        row = (op_bm["us"][:, af, None, :] - acc
+               - scal_cb[None] * al[:, af, None, :])
+        us_rows.append(row * float(u_mask_flat[af]))
+    return jnp.stack(us_rows, axis=1)                     # [N, Pu, C, B]
+
+
+def _resolve_emit_us(emit_us=None) -> bool:
+    """Emit-mode for the xla/pallas merit backends: False (default) =
+    the kernel emits states only and `_us_from_xs` rebuilds controls
+    bitwise in XLA (≈28% less pallas-emitted data through the ~1 ms/MB
+    consumption tax); True = legacy both-arrays emission
+    (ILQ_SWEEP_EMIT_US=1). Same static-arg/env pattern and trace-time
+    caveat as _resolve_merit_backend."""
+    if emit_us is None:
+        return os.environ.get("ILQ_SWEEP_EMIT_US", "0") == "1"
+    return emit_us
+
+
 def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
                  lamS, lamC, mu, gate, batch_block, interpret,
-                 merit_backend="xla"):
+                 merit_backend="xla", emit_us=False):
     """One candidate-chunk of raw merits [Cc, B], emit + XLA split (or
     the in-kernel path under merit_backend="kernel")."""
     if merit_backend == "kernel":
@@ -623,11 +671,19 @@ def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
             batch_block=batch_block, interpret=interpret,
         )
         return merits
-    xs_cand, us_cand = _run(
-        dyn, None, spec, x0m, op_bm, st_bm, scal_cb, None, None, None,
-        None, compute_merit=False, emit_traj=True,
-        batch_block=batch_block, interpret=interpret,
-    )
+    if emit_us:
+        xs_cand, us_cand = _run(
+            dyn, None, spec, x0m, op_bm, st_bm, scal_cb, None, None,
+            None, None, compute_merit=False, emit_traj=True,
+            batch_block=batch_block, interpret=interpret,
+        )
+    else:
+        (xs_cand,) = _run(
+            dyn, None, spec, x0m, op_bm, st_bm, scal_cb, None, None,
+            None, None, compute_merit=False, emit_traj="xs",
+            batch_block=batch_block, interpret=interpret,
+        )
+        us_cand = _us_from_xs(spec, xs_cand, op_bm, st_bm, scal_cb)
     if merit_backend == "pallas":
         return _pallas_merits(player_costs, spec, xs_cand, us_cand,
                               op_bm["t0"], lamS, lamC, mu, gate,
@@ -670,6 +726,7 @@ def sweep_merits_bm(
     interpret: bool = False,
     cand_chunk: int = 8,
     merit_backend: str = None,
+    emit_us: bool = None,
 ) -> jnp.ndarray:
     """Raw batch-minor merit sweep: [C, B] (0.5 * gated squared stage
     gradients; see sweep_merits_pallas). A 2-D `scalings` gives every
@@ -678,13 +735,15 @@ def sweep_merits_bm(
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
     merit_backend = _resolve_merit_backend(merit_backend)
+    emit_us = _resolve_emit_us(emit_us)
     in_kernel = merit_backend == "kernel"
+    emit_mode = False if in_kernel else (True if emit_us else "xs")
     Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block,
                          nS=(lamS.shape[1] if (in_kernel and lamS
                                                is not None) else 0),
                          nC=(lamC.shape[1] if (in_kernel and lamC
                                                is not None) else 0),
-                         cap=cand_chunk, emit_traj=not in_kernel)
+                         cap=cand_chunk, emit_traj=emit_mode)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -695,7 +754,7 @@ def sweep_merits_bm(
         parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
             lamC, mu, gate, batch_block, interpret,
-            merit_backend=merit_backend))
+            merit_backend=merit_backend, emit_us=emit_us))
     return 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
 
 
@@ -752,25 +811,28 @@ def sweep_merits_pallas(
     interpret: bool = False,
     cand_chunk: int = 8,
     merit_backend: str = None,
+    emit_us: bool = None,
 ):
     """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
     gated stage gradients along each candidate's rollout). See
     `_sweep_merits_pallas_jit`; this wrapper resolves `merit_backend`
-    (None -> ILQ_SWEEP_MERIT env var, default "xla") BEFORE the jitted
-    core so the backend is part of the jit cache key — passing it
-    explicitly always takes effect, even after the other backend has
-    been traced in this process."""
+    and `emit_us` (None -> ILQ_SWEEP_MERIT / ILQ_SWEEP_EMIT_US env
+    vars) BEFORE the jitted core so both are part of the jit cache
+    key — passing them explicitly always takes effect, even after the
+    other variant has been traced in this process."""
     return _sweep_merits_pallas_jit(
         dyn, player_costs, spec, x0, last_op, strategy, scalings,
         al_state, extreme_gate, batch_block=batch_block,
         interpret=interpret, cand_chunk=cand_chunk,
-        merit_backend=_resolve_merit_backend(merit_backend))
+        merit_backend=_resolve_merit_backend(merit_backend),
+        emit_us=_resolve_emit_us(emit_us))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dyn", "player_costs", "spec", "batch_block",
-                     "interpret", "cand_chunk", "merit_backend"),
+                     "interpret", "cand_chunk", "merit_backend",
+                     "emit_us"),
 )
 def _sweep_merits_pallas_jit(
     dyn,
@@ -786,6 +848,7 @@ def _sweep_merits_pallas_jit(
     interpret: bool = False,
     cand_chunk: int = 8,
     merit_backend: str = "xla",
+    emit_us: bool = False,
 ) -> jnp.ndarray:
     """Merit of every candidate stepsize: [Bt, C] (0.5 * sum of squared
     gated stage gradients along each candidate's rollout).
@@ -812,12 +875,13 @@ def _sweep_merits_pallas_jit(
     lamS, lamC, mu, gate = _prep_al(spec, al_state, extreme_gate, Bb)
 
     in_kernel = merit_backend == "kernel"
+    emit_mode = False if in_kernel else (True if emit_us else "xs")
     Cc = _fit_cand_chunk(spec, C=C, Bb=Bb,
                          nS=(lamS.shape[1] if (in_kernel and lamS
                                                is not None) else 0),
                          nC=(lamC.shape[1] if (in_kernel and lamC
                                                is not None) else 0),
-                         cap=cand_chunk, emit_traj=not in_kernel)
+                         cap=cand_chunk, emit_traj=emit_mode)
     parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
@@ -827,7 +891,8 @@ def _sweep_merits_pallas_jit(
                 scalings[c0:c0 + Cc, None], (Cc, B))
         parts.append(_merit_chunk(
             dyn, player_costs, spec, x0m, op, st, scal_cb, lamS, lamC,
-            mu, gate, Bb, interpret, merit_backend=merit_backend))
+            mu, gate, Bb, interpret, merit_backend=merit_backend,
+            emit_us=emit_us))
     return 0.5 * mb(jnp.concatenate(parts, axis=0), Bt)  # [Bt, C]
 
 

@@ -852,6 +852,7 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
                                    device_batch: int = 1024,
                                    trips_per_call: int = 10,
                                    batch_block: int = 128,
+                                   harvest_block: Optional[int] = None,
                                    interpret: bool = False,
                                    fuse_stages: Optional[bool] = None):
     """Wave-refill batched solve: keeps `device_batch` lanes hot by
@@ -871,14 +872,24 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
     and a refilled lane's carry is initialized exactly as lane 0 of a
     fresh solve. Pinned by tests/test_batched_pallas.py.
 
-    Mechanics: harvest/refill happens in fixed `batch_block`-sized
+    Mechanics: harvest/refill happens in fixed `harvest_block`-sized
     chunks (one compiled shape for every gather/scatter/init program);
     harvested results are scattered into an on-device result buffer
     (no per-chunk host transfer — the axon tunnel's bandwidth would
     otherwise eat the gain). Ragged final chunks are padded with
     duplicate lanes (harmless: gathers re-read, scatters re-write the
     same rows); lanes with no pending instance left retire with
-    done=True so they freeze instead of solving junk."""
+    done=True so they freeze instead of solving junk.
+
+    `harvest_block` (default batch_block) sets the refill granularity.
+    The flagship's trip distribution is bimodal (78% of lanes at
+    ~100-109 trips, 22% at ~15, tools/bench_b1024_lanes.npz): mid-wave
+    completions drip in at ~10/dispatch, so a 128-lane chunk makes a
+    freed lane wait ~12 dispatches for its refill and the makespan
+    collapses back to the plain driver's (measured: 44 dispatches vs
+    the work-conserving bound's ~36, tools/bench_r5d.log). A small
+    harvest_block (32) trades a few extra ~40 ms chunk dispatches for
+    prompt refills."""
     import numpy as np
 
     fuse_stages = _resolve_fuse_for(params, fuse_stages, dyn)
@@ -906,7 +917,7 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
     init_j = jax.jit(init)
     steps_j = jax.jit(steps)
     tmap = jax.tree_util.tree_map
-    H = batch_block
+    H = batch_block if harvest_block is None else harvest_block
 
     def _harvest_refill(fc, buf, x0d, lanes, inst, x0_new, keep):
         """ONE dispatch per harvest chunk: finalize the H harvested
@@ -949,7 +960,7 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
         res_spec = jax.eval_shape(finalize, sub_spec)
         buf = tmap(lambda s: jnp.zeros((Btot,) + s.shape[1:], s.dtype),
                    res_spec)
-        stats = {"dispatches": 0, "harvests": 0}
+        stats = {"dispatches": 0, "harvests": 0, "done_per_dispatch": []}
 
         # `done` is tracked host-side between device reads: steps_j is
         # the only program that can newly finish a lane, so one read per
@@ -958,6 +969,7 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
             fc = steps_j(x0d, fc)
             stats["dispatches"] += 1
             done = np.array(fc.done)  # writable copy (host-tracked)
+            stats["done_per_dispatch"].append(int(done.sum()))
             while True:
                 elig = np.nonzero(done & (slot_inst >= 0))[0]
                 pending = next_i < Btot

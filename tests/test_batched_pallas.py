@@ -425,3 +425,38 @@ def test_queue_solver_matches_plain(setup):
                                   np.asarray(res_p.op.xs))
     np.testing.assert_array_equal(np.asarray(res_q.strategy.alphas),
                                   np.asarray(res_p.strategy.alphas))
+
+
+def test_xs_only_emission_bitwise(setup):
+    """emit_us=False (default: kernel emits states only, controls are
+    rebuilt in XLA with the kernel's exact scalar fold) must equal the
+    legacy both-arrays emission BITWISE — each merit element is the
+    same f32 op chain, so any difference is a fold-order bug in
+    _us_from_xs."""
+    from ilqgames_tpu.ops.pallas import sweep as sweep_mod
+
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+
+    fc = _init_ref(problem, x0b)
+    for _ in range(2):
+        fc = jax.jit(jax.vmap(
+            lambda x0, f: fused._trip(dyn, costs, spec, params, x0, f)
+        ))(x0b, fc)
+    c = fc.c
+    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+    from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
+    lqsol = solve_lq_feedback_pallas(
+        spec, lin, c.quad, x0b - c.op.xs[:, 0],
+        adaptive_regularization=params.adaptive_regularization,
+        batch_block=B, interpret=True)
+    gate = batched._extreme_gate_b(costs, spec, c.extreme_ks)
+    scalings = jnp.asarray([0.1, 0.05, 0.025, 0.0125], jnp.float32)
+
+    def run(emit_us):
+        return np.asarray(sweep_mod.sweep_merits_pallas(
+            dyn, costs, spec, x0b, c.op, lqsol.strategy, scalings,
+            fc.al, gate, batch_block=B, interpret=True,
+            merit_backend="xla", emit_us=emit_us))
+
+    np.testing.assert_array_equal(run(False), run(True))
