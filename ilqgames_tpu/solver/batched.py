@@ -449,8 +449,29 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             rows = jax.vmap(
                 lambda r, m, o: jax.lax.dynamic_update_slice(r, m, (o,))
             )(buf[sel], m_c, offs)
+            # f32-collapse early exit: the geometric ladder collapses —
+            # past k ~ 25 every candidate's controls round to the
+            # alpha->0 limit, so merits freeze (linesearch_eval_cap's
+            # rationale, params.py). A lane whose ENTIRE window came
+            # back bitwise-uniform is inside that frozen regime: fill
+            # its remaining ladder with the frozen value (what deeper
+            # evaluation would return) and stop walking it. Armijo
+            # still sees every candidate's own threshold, so selection
+            # matches full evaluation; the all-CD-equal guard (not just
+            # last-two) makes a coincidental trigger require CD
+            # distinct trajectories with bitwise-equal merits. Saves
+            # the deepest round(s) of every reject-heavy lane's walk —
+            # the rounds that exist only to prove reject-all.
+            if CD >= 2:
+                uniform = jnp.all(m_c == m_c[:, :1], axis=1)  # [Bc]
+                cols = jnp.arange(Cp)[None, :]
+                fill = uniform[:, None] & (cols >= (offs + CD)[:, None])
+                rows = jnp.where(fill, m_c[:, -1:], rows)
+                nxt_new = jnp.where(uniform, Cp, offs + CD)
+            else:
+                nxt_new = offs + CD
             buf = buf.at[sel].set(rows)
-            nxt = nxt.at[sel].add(CD)
+            nxt = nxt.at[sel].set(nxt_new)
             return buf, nxt, rounds + 1
 
         buf, _, deep_rounds = jax.lax.while_loop(
@@ -938,6 +959,11 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
         return fc2, buf2, x0d.at[lanes].set(x0_new)
 
     harvest_j = jax.jit(_harvest_refill, donate_argnums=(0, 1, 2))
+    # No donation: the gathered outputs are smaller than the inputs, so
+    # buffers can't be reused (donating just warns); <=log2(D/block)
+    # compactions per run make the copies irrelevant.
+    compact_j = jax.jit(
+        lambda fc, x0d, idx: (tmap(lambda a: a[idx], fc), x0d[idx]))
 
     def run(x0_all):
         x0_all = jnp.asarray(x0_all)
@@ -1001,6 +1027,28 @@ def make_host_batched_queue_solver(dyn, player_costs, spec, params,
                 harvested[inst] = True
                 slot_inst[lanes] = np.where(keep[:n], fill[:n], -1)
                 done[lanes] = ~keep[:n]
+            # Drain-phase compaction: once the instance queue is empty
+            # and the still-active lanes fit in half the device batch,
+            # gather them into a half-size batch — the remaining trips
+            # then cost proportionally less (the round-5d stats showed
+            # ~14% of all lane-trips idling in the drain ramp). Pure
+            # gather: per-lane arithmetic is unchanged, pinned by the
+            # queue parity test. Each size's programs compile once and
+            # persist in the jit/persistent caches.
+            if next_i >= Btot:
+                while D > batch_block:
+                    active_idx = np.nonzero(~done)[0]
+                    newD = D // 2
+                    if (newD < batch_block or newD % batch_block
+                            or len(active_idx) > newD):
+                        break
+                    fill_idx = np.nonzero(done)[0][:newD - len(active_idx)]
+                    perm = np.concatenate([active_idx, fill_idx])
+                    fc, x0d = compact_j(fc, x0d, jnp.asarray(perm))
+                    slot_inst = slot_inst[perm]
+                    done = done[perm]
+                    D = newD
+                    stats["compactions"] = stats.get("compactions", 0) + 1
         run.last_stats = dict(stats)
         return buf
 
