@@ -98,8 +98,12 @@ def main():
     # lanes refill instead of idling until the diverged tail's last
     # trip — per-instance results are bitwise identical to the plain
     # driver (tests/test_batched_pallas.py).
-    queue_mode = os.environ.get("BENCH_QUEUE", "0") == "1"
-    device_batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # Default = the measured-best configuration (tools/bench_r5f.log):
+    # wave-refill queue, 8192 instances through 2048 device lanes,
+    # harvest_block 32, drain compaction — 82.1 solves/s/chip vs 79.3
+    # for the best plain run (BENCH_QUEUE=0 BENCH_BATCH=2048).
+    queue_mode = os.environ.get("BENCH_QUEUE", "1") == "1"
+    device_batch = int(os.environ.get("BENCH_BATCH", "2048"))
     if queue_mode:
         batch = int(os.environ.get("BENCH_TOTAL", str(4 * device_batch)))
     else:
