@@ -236,23 +236,17 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             )
             return jnp.moveaxis(m[:, :Bt], -1, 0)  # [Bt, C]
 
-        def gather_block(sel):
-            # Gather the selected lanes (batch-minor: last axis) into
-            # one lane block — ONCE per block; the deep walk below
-            # reuses it across every candidate window (the per-round
-            # XLA gathers of the ~40 MB pallas-emitted strategy were a
-            # large share of the trip's glue cost).
+        def sweep_compact_fn(sel, scal_w):
+            # Gather the selected lanes (batch-minor: last axis) into one
+            # lane block and sweep only that block; scal_w [Bc, CD] gives
+            # each gathered lane its own candidate window.
+            Bc = sel.shape[0]
             g = lambda a: None if a is None else jnp.take(a, sel, axis=-1)
-            return (g(x0m), {k: g(v) for k, v in op_bm.items()},
-                    {k: g(v) for k, v in st_bm.items()},
-                    g(lamS), g(lamC), g(mu_bm), g(gate_bm))
-
-        def sweep_block(blk, scal_w):
-            x0c, opc, stc, lamSc, lamCc, muc, gatec = blk
-            Bc = scal_w.shape[0]
             m = sweep_merits_bm(
-                dyn, player_costs, spec, x0c, opc, stc,
-                scal_w.T, lamSc, lamCc, muc, gatec,
+                dyn, player_costs, spec, g(x0m),
+                {k: g(v) for k, v in op_bm.items()},
+                {k: g(v) for k, v in st_bm.items()},
+                scal_w.T, g(lamS), g(lamC), g(mu_bm), g(gate_bm),
                 batch_block=Bc, interpret=interpret,
             )
             return jnp.moveaxis(m, -1, 0)  # [Bc, CD]
@@ -307,20 +301,17 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                 batch_block=batch_block, interpret=interpret,
             )
 
-        def gather_block(sel):
+        def sweep_compact_fn(sel, scal_w):
             # Gather the selected lanes (batch-major: leading axis) into
-            # one lane block — once per block (see the fused variant).
+            # one lane block and sweep only that block; scal_w [Bc, CD]
+            # gives each gathered lane its own candidate window.
+            Bc = sel.shape[0]
             g = lambda t: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, sel, axis=0), t)
-            return (x0[sel], g(last_op), g(lq_strategy), g(al_state),
-                    gate[sel])
-
-        def sweep_block(blk, scal_w):
-            x0c, opc, stc, alc, gatec = blk
-            Bc = scal_w.shape[0]
             return sweep_merits_pallas(
-                dyn, player_costs, spec, x0c, opc, stc, scal_w, alc,
-                gatec, batch_block=Bc, interpret=interpret,
+                dyn, player_costs, spec, x0[sel], g(last_op),
+                g(lq_strategy), scal_w, g(al_state), gate[sel],
+                batch_block=Bc, interpret=interpret,
             )
 
         def reroll_fn(scal_lane):
@@ -412,110 +403,79 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     buf = jax.lax.dynamic_update_slice(buf, m1, (0, 0))
 
     if n_deep > 0:
-        # Compact deep ladder with PER-LANE candidate windows: gather
-        # up to one lane block of unhappy lanes ONCE, then walk each
-        # gathered lane's remaining windows in an inner loop over the
-        # SAME gathered operands (the sweep kernel takes per-lane
-        # stepsizes). One kernel shape serves ANY unhappy count:
-        #   * <=Bc unhappy lanes: one gather, then one inner round per
-        #     shared window (the common case).
-        #   * >Bc unhappy lanes: outer rounds drain them block by
-        #     block, each block walked to completion.
-        # Gather-once matters: each gather materializes ~50 MB of
-        # freshly pallas-emitted operands (strategy Ps dominates)
-        # through the XLA consumption tax — per-round gathering made
-        # the glue a third of the trip (tools/profile_trip7.txt).
+        # Compact deep ladder with PER-LANE candidate windows: every
+        # round gathers up to one lane block of unhappy lanes and
+        # evaluates, for each gathered lane, ITS OWN next CD candidates
+        # (the sweep kernel takes per-lane stepsizes). One kernel shape
+        # serves ANY unhappy count — round count is proportional to the
+        # total deep work, not to the batch:
+        #   * <=Bc unhappy lanes: one round per shared window (the
+        #     common case — they all sit at the same offset).
+        #   * >Bc unhappy lanes: extra rounds drain them block by
+        #     block, each lane advancing through its own windows.
         # A tiered-gather lax.switch variant compiled >80 min (one
         # sweep instantiation per tier); this keeps exactly one compact
-        # sweep shape. Tail (happy) lanes gathered as fill are masked
-        # out of the walk by their own Armijo pass — and extra
-        # evaluations would be selection-invariant anyway (header
-        # note).
+        # sweep shape. Tail (happy) lanes gathered as fill get extra
+        # candidates evaluated — selection-invariant (header note).
         Bc = min(batch_block, Bt)
-        act_all = (active if active is not None
-                   else jnp.ones((Bt,), bool))
 
-        def unhappy_rows(rows, lm_c, ed_c, act_c):
-            ok = (
-                (lm_c[:, None] - rows)
-                >= params.expected_decrease_fraction * scal_full[None, :]
-                * ed_c[:, None]
-            )
-            return ~jnp.any(ok, axis=1) & act_c
-
-        def outer_cond(state):
+        def deep_cond(state):
             buf, nxt, rounds = state
             u = unhappy_of(buf) & (nxt < Cp)
             return jnp.any(u)
 
-        def outer_body(state):
+        def deep_body(state):
             buf, nxt, rounds = state
             u = unhappy_of(buf) & (nxt < Cp)
-            # Unhappy lanes first (happy fill sorts last); smallest-nxt
-            # ordering keeps blocks full of real work when unhappy > Bc
-            # (tools/profile_trip4.txt ladder_stats).
+            # Work-optimal packing: serve unhappy lanes with the SMALLEST
+            # next-candidate offset first. Serving a fixed first-Bc set
+            # (argsort(~u)) exhausts those lanes' windows before touching
+            # the rest, leaving the final rounds underfilled when
+            # unhappy > Bc (measured at B=1024: 10-11 rounds for ~180
+            # unhappy lanes vs the ceil(work/Bc) = 8 optimum —
+            # tools/profile_trip4.txt ladder_stats). Smallest-nxt-first
+            # equalizes progress so every round stays full of real work.
+            # Selection-invariant: evaluation order never changes the
+            # first-Armijo-pass selection (header note).
             key = jnp.where(u, nxt, Cp + 1)
             sel = jnp.argsort(key)[:Bc]
-            blk = gather_block(sel)
-            lm_c = c.last_merit[sel]
-            ed_c = expected_decrease[sel]
-            act_c = act_all[sel]
-
-            def inner_cond(s):
-                rows, nxt_c, r = s
-                walk = unhappy_rows(rows, lm_c, ed_c, act_c) & (
-                    nxt_c < Cp)
-                return jnp.any(walk)
-
-            def inner_body(s):
-                rows, nxt_c, r = s
-                walk = unhappy_rows(rows, lm_c, ed_c, act_c) & (
-                    nxt_c < Cp)
-                offs = nxt_c                             # [Bc]
-                # Per-lane windows; dynamic_slice clamps at the ladder
-                # end, re-evaluating (overwriting) identical merits.
-                scal_w = jax.vmap(
-                    lambda o: jax.lax.dynamic_slice(
-                        scal_full, (o,), (CD,))
-                )(offs)                                  # [Bc, CD]
-                m_c = sweep_block(blk, scal_w)           # [Bc, CD]
-                new_rows = jax.vmap(
-                    lambda rr, m, o: jax.lax.dynamic_update_slice(
-                        rr, m, (o,))
-                )(rows, m_c, offs)
-                # f32-collapse early exit: past k ~ 25 the geometric
-                # ladder's controls round to the alpha->0 limit and
-                # merits freeze (linesearch_eval_cap rationale,
-                # params.py). A lane whose ENTIRE window came back
-                # bitwise-uniform is inside that frozen regime: fill
-                # its remaining ladder with the frozen value (what
-                # deeper evaluation would return) and stop walking it.
-                # Armijo still sees every candidate's own threshold, so
-                # selection matches full evaluation; the all-CD-equal
-                # guard makes a coincidental trigger require CD
-                # distinct trajectories with bitwise-equal merits.
-                if CD >= 2:
-                    uniform = jnp.all(m_c == m_c[:, :1], axis=1)
-                    cols = jnp.arange(Cp)[None, :]
-                    fill = uniform[:, None] & (
-                        cols >= (offs + CD)[:, None])
-                    new_rows = jnp.where(fill, m_c[:, -1:], new_rows)
-                    nxt_step = jnp.where(uniform, Cp, nxt_c + CD)
-                else:
-                    nxt_step = nxt_c + CD
-                rows = jnp.where(walk[:, None], new_rows, rows)
-                nxt_c = jnp.where(walk, nxt_step, nxt_c)
-                return rows, nxt_c, r + 1
-
-            rows_f, nxt_f, r_in = jax.lax.while_loop(
-                inner_cond, inner_body,
-                (buf[sel], nxt[sel], jnp.zeros((), jnp.int32)))
-            buf = buf.at[sel].set(rows_f)
-            nxt = nxt.at[sel].set(nxt_f)
-            return buf, nxt, rounds + r_in
+            offs = nxt[sel]                              # [Bc]
+            # Per-lane windows; dynamic_slice clamps at the ladder end,
+            # which re-evaluates (overwrites) identical tail merits.
+            scal_w = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(scal_full, (o,), (CD,))
+            )(offs)                                      # [Bc, CD]
+            m_c = sweep_compact_fn(sel, scal_w)          # [Bc, CD]
+            rows = jax.vmap(
+                lambda r, m, o: jax.lax.dynamic_update_slice(r, m, (o,))
+            )(buf[sel], m_c, offs)
+            # f32-collapse early exit: the geometric ladder collapses —
+            # past k ~ 25 every candidate's controls round to the
+            # alpha->0 limit, so merits freeze (linesearch_eval_cap's
+            # rationale, params.py). A lane whose ENTIRE window came
+            # back bitwise-uniform is inside that frozen regime: fill
+            # its remaining ladder with the frozen value (what deeper
+            # evaluation would return) and stop walking it. Armijo
+            # still sees every candidate's own threshold, so selection
+            # matches full evaluation; the all-CD-equal guard (not just
+            # last-two) makes a coincidental trigger require CD
+            # distinct trajectories with bitwise-equal merits. Saves
+            # the deepest round(s) of every reject-heavy lane's walk —
+            # the rounds that exist only to prove reject-all.
+            if CD >= 2:
+                uniform = jnp.all(m_c == m_c[:, :1], axis=1)  # [Bc]
+                cols = jnp.arange(Cp)[None, :]
+                fill = uniform[:, None] & (cols >= (offs + CD)[:, None])
+                rows = jnp.where(fill, m_c[:, -1:], rows)
+                nxt_new = jnp.where(uniform, Cp, offs + CD)
+            else:
+                nxt_new = offs + CD
+            buf = buf.at[sel].set(rows)
+            nxt = nxt.at[sel].set(nxt_new)
+            return buf, nxt, rounds + 1
 
         buf, _, deep_rounds = jax.lax.while_loop(
-            outer_cond, outer_body,
+            deep_cond, deep_body,
             (buf, jnp.full((Bt,), C1, jnp.int32),
              jnp.zeros((), jnp.int32)),
         )
