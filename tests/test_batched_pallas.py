@@ -389,13 +389,17 @@ def test_sweep_merit_backends_agree(setup):
     np.testing.assert_array_equal(np.isfinite(m_pallas), finite)
 
 
-def test_queue_solver_matches_plain(setup):
+@pytest.mark.parametrize("harvest_block", [None, 1],
+                         ids=["harvest=block", "harvest<block"])
+def test_queue_solver_matches_plain(setup, harvest_block):
     """Wave-refill queue solver == plain batched solver, per instance,
     BITWISE. Instances are lane-elementwise throughout the machine, so
     which lane (and which refill wave) an instance rides must not
     change its arithmetic; 10 instances through 4 device lanes
     (block=2) exercises initial fill, mid-run refill chunks, the
-    ragged final chunk, and lane retirement."""
+    ragged final chunk, lane retirement, and drain compaction.
+    harvest_block=1 < batch_block covers the production configuration
+    shape (bench.py runs harvest 32 under block 128)."""
     problem, params, _ = setup
     dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
     rng = np.random.RandomState(3)
@@ -412,7 +416,7 @@ def test_queue_solver_matches_plain(setup):
     )
     run_queue = batched.make_host_batched_queue_solver(
         dyn, costs, spec, p, device_batch=4, trips_per_call=3,
-        batch_block=2, interpret=True,
+        batch_block=2, harvest_block=harvest_block, interpret=True,
     )
     res_p = run_plain(x0b)
     res_q = run_queue(x0b)
