@@ -620,9 +620,13 @@ def _us_from_xs(spec, xs_cand, op_bm, st_bm, scal_cb):
     EMITTED states, in XLA, with the kernel's exact scalar fold order
     (u[af] = u_ref[af] − (Σ_xx P[af,xx]·δ[xx]) − scal·α[af], left fold
     over xx, then the u_mask multiply) — each output element is the
-    same f32 multiply/add chain as the in-kernel control law, so the
-    result is BITWISE identical to the kernel's emitted `us` (XLA does
-    not reassociate floating point). Lets the sweep emit states only:
+    same f32 multiply/add chain as the in-kernel control law. XLA does
+    not reassociate, but its FMA contraction can fuse the chain
+    differently between compilations, so the guarantee is ULP-level
+    equivalence, not bit equality (measured ulp diffs on ~1/3 of
+    elements; tests/test_batched_pallas.py) — the recompile-class
+    difference already documented for the fuse-stage modes.
+    Lets the sweep emit states only:
     the `us` third of the pallas-emitted bytes never crosses the
     ~1 ms/MB XLA consumption tax (CLAUDE.md), it is rebuilt from
     untaxed operands instead."""
@@ -661,9 +665,10 @@ def _resolve_emit_us(emit_us=None) -> bool:
 
 def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
                  lamS, lamC, mu, gate, batch_block, interpret,
-                 merit_backend="xla", emit_us=False):
+                 merit_backend="xla", emit_us=False, return_traj=False):
     """One candidate-chunk of raw merits [Cc, B], emit + XLA split (or
-    the in-kernel path under merit_backend="kernel")."""
+    the in-kernel path under merit_backend="kernel"). return_traj=True
+    also returns the emitted candidate states [N, x, Cc, B]."""
     if merit_backend == "kernel":
         (merits,) = _run(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
@@ -685,11 +690,15 @@ def _merit_chunk(dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb,
         )
         us_cand = _us_from_xs(spec, xs_cand, op_bm, st_bm, scal_cb)
     if merit_backend == "pallas":
-        return _pallas_merits(player_costs, spec, xs_cand, us_cand,
-                              op_bm["t0"], lamS, lamC, mu, gate,
-                              batch_block, interpret)
-    return _xla_merits(player_costs, spec, xs_cand, us_cand,
-                       op_bm["t0"], lamS, lamC, mu, gate)
+        merits = _pallas_merits(player_costs, spec, xs_cand, us_cand,
+                                op_bm["t0"], lamS, lamC, mu, gate,
+                                batch_block, interpret)
+    else:
+        merits = _xla_merits(player_costs, spec, xs_cand, us_cand,
+                             op_bm["t0"], lamS, lamC, mu, gate)
+    if return_traj:
+        return merits, xs_cand
+    return merits
 
 
 def rollout_bm(
@@ -727,16 +736,25 @@ def sweep_merits_bm(
     cand_chunk: int = 8,
     merit_backend: str = None,
     emit_us: bool = None,
-) -> jnp.ndarray:
+    return_traj: bool = False,
+):
     """Raw batch-minor merit sweep: [C, B] (0.5 * gated squared stage
     gradients; see sweep_merits_pallas). A 2-D `scalings` gives every
     lane its OWN candidate stepsizes (the compact deep ladder's
-    per-lane windows); the kernel consumes [C, B] either way."""
+    per-lane windows); the kernel consumes [C, B] either way.
+
+    return_traj=True additionally returns the emitted candidate states
+    xs_cand [N, x, C, B] (requires an emitting backend — the caller
+    reuses candidate trajectories instead of re-rolling; raises under
+    merit_backend="kernel", which emits nothing)."""
     B = op_bm["xs"].shape[-1]
     C = scalings.shape[0]
     merit_backend = _resolve_merit_backend(merit_backend)
     emit_us = _resolve_emit_us(emit_us)
     in_kernel = merit_backend == "kernel"
+    if return_traj and in_kernel:
+        raise ValueError("return_traj needs an emitting merit backend "
+                         "('xla'/'pallas'); 'kernel' emits nothing")
     emit_mode = False if in_kernel else (True if emit_us else "xs")
     Cc = _fit_cand_chunk(spec, C=C, Bb=batch_block,
                          nS=(lamS.shape[1] if (in_kernel and lamS
@@ -745,17 +763,26 @@ def sweep_merits_bm(
                                                is not None) else 0),
                          cap=cand_chunk, emit_traj=emit_mode)
     parts = []
+    traj_parts = []
     for c0 in range(0, C, Cc):
         if scalings.ndim == 2:
             scal_cb = scalings[c0:c0 + Cc]
         else:
             scal_cb = jnp.broadcast_to(
                 scalings[c0:c0 + Cc, None], (Cc, B))
-        parts.append(_merit_chunk(
+        out = _merit_chunk(
             dyn, player_costs, spec, x0m, op_bm, st_bm, scal_cb, lamS,
             lamC, mu, gate, batch_block, interpret,
-            merit_backend=merit_backend, emit_us=emit_us))
-    return 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
+            merit_backend=merit_backend, emit_us=emit_us,
+            return_traj=return_traj)
+        if return_traj:
+            out, xs_c = out
+            traj_parts.append(xs_c)
+        parts.append(out)
+    merits = 0.5 * jnp.concatenate(parts, axis=0)  # [C, B]
+    if return_traj:
+        return merits, jnp.concatenate(traj_parts, axis=2)
+    return merits
 
 
 @functools.partial(

@@ -433,10 +433,12 @@ def test_queue_solver_matches_plain(setup, harvest_block):
 
 def test_xs_only_emission_bitwise(setup):
     """emit_us=False (default: kernel emits states only, controls are
-    rebuilt in XLA with the kernel's exact scalar fold) must equal the
-    legacy both-arrays emission BITWISE — each merit element is the
-    same f32 op chain, so any difference is a fold-order bug in
-    _us_from_xs."""
+    rebuilt in XLA with the kernel's fold order) vs the legacy
+    both-arrays emission. The rebuild is the same f32 multiply/add
+    chain but XLA's FMA contraction may fuse it differently, so the
+    guarantee is ulp-level, not bitwise (see
+    test_phase1_traj_reuse_bitwise); on this platform/jit the merits
+    come out exactly equal, asserted at tight tolerance."""
     from ilqgames_tpu.ops.pallas import sweep as sweep_mod
 
     problem, params, x0b = setup
@@ -463,4 +465,51 @@ def test_xs_only_emission_bitwise(setup):
             fc.al, gate, batch_block=B, interpret=True,
             merit_backend="xla", emit_us=emit_us))
 
-    np.testing.assert_array_equal(run(False), run(True))
+    np.testing.assert_allclose(run(False), run(True),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_phase1_traj_reuse_bitwise(setup):
+    """The claims under reroll_from_phase1: (1) the phase-1 sweep's
+    emitted candidate states equal the rollout kernel's output at the
+    same stepsize BITWISE (same kernel template), and (2) _us_from_xs
+    rebuilds the kernel's controls to ULP accuracy — the same f32
+    multiply/add chain, but XLA's FMA contraction can fuse it
+    differently between compilations, so exact bit equality is not
+    guaranteed (measured: ulp-level diffs on ~1/3 of elements). That
+    is the recompile-class difference this project already documents
+    and accepts for the fuse-stage modes (docs/scaling.md)."""
+    from ilqgames_tpu.ops.pallas import sweep as sweep_mod
+
+    problem, params, x0b = setup
+    dyn, costs, spec = problem.dynamics, problem.player_costs, problem.spec
+
+    fc = _init_ref(problem, x0b)
+    for _ in range(2):
+        fc = jax.jit(jax.vmap(
+            lambda x0, f: fused._trip(dyn, costs, spec, params, x0, f)
+        ))(x0b, fc)
+    c = fc.c
+    lin = jax.vmap(lambda o: dyn_base.linearize(dyn, spec, o))(c.op)
+    from ilqgames_tpu.ops.pallas.lq import solve_lq_feedback_pallas
+    lqsol = solve_lq_feedback_pallas(
+        spec, lin, c.quad, x0b - c.op.xs[:, 0],
+        adaptive_regularization=params.adaptive_regularization,
+        batch_block=B, interpret=True)
+
+    op, st, x0m = sweep_mod._prep_common(
+        spec, x0b, c.op, lqsol.strategy, B)
+    Bp = op["xs"].shape[-1]
+    scal_cb = jnp.full((1, Bp), 0.1, jnp.float32)
+
+    (xs_c,) = sweep_mod._run(
+        dyn, None, spec, x0m, op, st, scal_cb, None, None, None, None,
+        compute_merit=False, emit_traj="xs", batch_block=B,
+        interpret=True)
+    xs_r, us_r = sweep_mod.rollout_bm(
+        dyn, spec, x0m, op, st, scal_cb, batch_block=B, interpret=True)
+    np.testing.assert_array_equal(np.asarray(xs_c[:, :, 0, :]),
+                                  np.asarray(xs_r))
+    us_x = sweep_mod._us_from_xs(spec, xs_c, op, st, scal_cb)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(us_x), np.asarray(us_r),
+                               rtol=1e-6, atol=1e-7)
