@@ -236,26 +236,6 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             )
             return jnp.moveaxis(m[:, :Bt], -1, 0)  # [Bt, C]
 
-        def phase1_fn(scal_c):
-            # Phase 1 with trajectory capture: the emitted candidate
-            # states double as the re-roll for every lane whose
-            # SELECTED candidate lies in this chunk (the ~94% idx-0
-            # majority), so the full-batch reroll kernel only runs for
-            # the few deep-selecting lanes (reroll_from_phase1).
-            # Falls back to merits-only under the non-emitting
-            # in-kernel merit backend.
-            from ilqgames_tpu.ops.pallas.sweep import \
-                _resolve_merit_backend
-
-            if _resolve_merit_backend(None) == "kernel":
-                return sweep_chunk_fn(scal_c), None
-            m, xs_c = sweep_merits_bm(
-                dyn, player_costs, spec, x0m, op_bm, st_bm, scal_c,
-                lamS, lamC, mu_bm, gate_bm,
-                batch_block=Bb, interpret=interpret, return_traj=True,
-            )
-            return jnp.moveaxis(m[:, :Bt], -1, 0), xs_c
-
         def sweep_compact_fn(sel, scal_w):
             # Gather the selected lanes (batch-minor: last axis) into one
             # lane block and sweep only that block; scal_w [Bc, CD] gives
@@ -279,66 +259,6 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
             )
             return OperatingPoint(
                 xs=mb(xs_r, Bt), us=mb(us_r, Bt).reshape(Bt, N, P, um),
-                t0=c.op.t0,
-            )
-
-        def reroll_from_phase1(xs_c0, idx_bt, scal_sel_bt, need_bt):
-            """op_sel from the phase-1 emission: lanes whose selected
-            candidate was already rolled in phase 1 (the ~94% idx-0
-            majority + all failed lanes, whose fallback IS candidate 0)
-            reuse its states — the same kernel template at the same
-            stepsize, so bitwise identical to a re-roll. The remaining
-            lanes (selected past the phase-1 chunk) are re-rolled in
-            compact gathered blocks; controls for everyone are rebuilt
-            from states (_us_from_xs — ULP-equivalent to the kernel's
-            emission; FMA-contraction caveat in its docstring). op_sel
-            therefore equals the full-batch reroll to recompile-class
-            accuracy at a fraction of its cost (the full-B reroll
-            kernel was ~13 ms at B=1024, tools/profile_trip7.txt)."""
-            from ilqgames_tpu.ops.pallas.sweep import _us_from_xs
-
-            C1w = xs_c0.shape[2]
-            Bp2 = xs_c0.shape[-1]
-            lane_ok = jnp.arange(Bp2) < Bt
-            idx_m = pad_batch(bm(idx_bt)[None], Bb)[0]
-            scal_m = pad_batch(bm(scal_sel_bt)[None], Bb)[0]
-            need_m = pad_batch(bm(need_bt)[None], Bb)[0] & lane_ok
-            sel_c = jnp.clip(idx_m, 0, C1w - 1).astype(jnp.int32)
-            xs_sel = jnp.take_along_axis(
-                xs_c0,
-                jnp.broadcast_to(sel_c[None, None, None, :],
-                                 (N, xd, 1, Bp2)), axis=2)[:, :, 0, :]
-            Bc2 = min(Bb, Bp2)
-
-            def cond(s):
-                _, served = s
-                return jnp.any(need_m & ~served)
-
-            def body(s):
-                xs_buf, served = s
-                want = need_m & ~served
-                selL = jnp.argsort(~want)[:Bc2]
-                g = lambda a: jnp.take(a, selL, axis=-1)
-                xs_blk, _ = rollout_bm(
-                    dyn, spec, g(x0m),
-                    {k: g(v) for k, v in op_bm.items()},
-                    {k: g(v) for k, v in st_bm.items()},
-                    g(scal_m)[None], batch_block=Bc2,
-                    interpret=interpret)
-                w = want[selL]
-                cur = xs_buf[:, :, selL]
-                xs_buf = xs_buf.at[:, :, selL].set(
-                    jnp.where(w[None, None, :], xs_blk, cur))
-                served = served.at[selL].set(served[selL] | w)
-                return xs_buf, served
-
-            xs_buf, _ = jax.lax.while_loop(
-                cond, body, (xs_sel, jnp.zeros((Bp2,), bool)))
-            us_sel = _us_from_xs(spec, xs_buf[:, :, None, :], op_bm,
-                                 st_bm, scal_m[None])[:, :, 0, :]
-            return OperatingPoint(
-                xs=mb(xs_buf, Bt),
-                us=mb(us_sel, Bt).reshape(Bt, N, P, um),
                 t0=c.op.t0,
             )
 
@@ -381,10 +301,6 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
                 batch_block=batch_block, interpret=interpret,
             )
 
-        def phase1_fn(scal_c):
-            return sweep_chunk_fn(scal_c), None
-
-        reroll_from_phase1 = None
 
         def sweep_compact_fn(sel, scal_w):
             # Gather the selected lanes (batch-major: leading axis) into
@@ -482,11 +398,9 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
         return u
 
     # Phase 1: first chunk, full batch (always evaluated — matches the
-    # reference, which always rolls out the first candidate). The
-    # fused path also captures the chunk's emitted states: they ARE
-    # the re-roll for every lane selecting inside the chunk.
+    # reference, which always rolls out the first candidate).
     buf = jnp.full((Bt, Cp), jnp.inf, jnp.float32)
-    m1, xs_c0 = phase1_fn(scal_full[:C1])
+    m1 = sweep_chunk_fn(scal_full[:C1])
     buf = jax.lax.dynamic_update_slice(buf, m1, (0, 0))
 
     if n_deep > 0:
@@ -594,11 +508,7 @@ def iteration_step_batched(dyn, player_costs, spec, params, x0, al_state, c,
     # Re-roll ONLY the selected candidate (per-lane scal): an in-kernel
     # rollout is far cheaper than emitting every candidate's trajectory
     # to HBM (1.7 GB at C=104, B=256) and gathering from it.
-    if reroll_from_phase1 is not None and xs_c0 is not None:
-        op_sel = reroll_from_phase1(
-            xs_c0, idx, scal_sel, passed & (idx >= C1))
-    else:
-        op_sel = reroll_fn(scal_sel)
+    op_sel = reroll_fn(scal_sel)
     quad_sel = quad_of(op_sel)
 
     failed = ~passed

@@ -513,3 +513,11 @@ def test_phase1_traj_reuse_bitwise(setup):
     us_x = sweep_mod._us_from_xs(spec, xs_c, op, st, scal_cb)[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(us_x), np.asarray(us_r),
                                rtol=1e-6, atol=1e-7)
+    # sweep_merits_bm(return_traj=True) hands back the same emission.
+    gate = batched._extreme_gate_b(costs, spec, c.extreme_ks)
+    lamS, lamC, mu, gate_bm = sweep_mod._prep_al(spec, fc.al, gate, B)
+    _, xs_t = sweep_mod.sweep_merits_bm(
+        dyn, costs, spec, x0m, op, st,
+        jnp.asarray([0.1], jnp.float32), lamS, lamC, mu, gate_bm,
+        batch_block=B, interpret=True, return_traj=True)
+    np.testing.assert_array_equal(np.asarray(xs_t), np.asarray(xs_c))
