@@ -429,6 +429,11 @@ def test_queue_solver_matches_plain(setup, harvest_block):
                                   np.asarray(res_p.op.xs))
     np.testing.assert_array_equal(np.asarray(res_q.strategy.alphas),
                                   np.asarray(res_p.strategy.alphas))
+    # The bitwise claim above must actually cover the drain-compaction
+    # branch (the production bench config compacts 4x per run,
+    # tools/bench_r5f.log) — pin that this shape really triggered it.
+    stats = run_queue.last_stats
+    assert stats is not None and stats.get("compactions", 0) >= 1, stats
 
 
 def test_xs_only_emission_bitwise(setup):
